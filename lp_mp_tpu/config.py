@@ -1,0 +1,169 @@
+"""Global configuration for lp_mp_tpu.
+
+TPU-native rebuild of the LP_MP dual block coordinate ascent framework
+(reference: pawelswoboda/LP_MP, include/config.hxx).
+
+Design notes
+------------
+The reference fixes ``REAL = double`` and ``eps = 1e-8``
+(config.hxx:28-30,51).  On TPU, float64 is emulated and slow, so the
+default compute dtype is float32 with ``eps = 1e-6`` (the reference's own
+float eps, config.hxx:51).  Verification runs can enable float64 via
+``jax.config.update("jax_enable_x64", True)`` and ``set_dtype(jnp.float64)``.
+
+Enums mirror config.hxx:39-49,72 so downstream model code reads like the
+reference's option surface.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+import numpy as np
+
+
+class Chirality(enum.Enum):
+    """Which side of a message a factor sits on (config.hxx:39)."""
+
+    left = "left"
+    right = "right"
+
+
+class Direction(enum.Enum):
+    """Sweep direction (config.hxx:41)."""
+
+    forward = "forward"
+    backward = "backward"
+
+
+class MessageSchedule(enum.Flag):
+    """Message passing schedule (config.hxx:43-49).
+
+    Mirrors ``message_passing_schedule``: which endpoint of a message is
+    *active* during its own factor update.  Encoded as flags so the engine
+    can query the four activity bits directly (the reference derives them
+    with constexpr predicates, factors_messages.hxx:1530-1545):
+
+    - ``left``:  messages are received from right *by* left and sent *by*
+      left (all activity on the left factor's update).
+    - ``right``: mirror image.
+    - ``full``:  both sides active.
+    - ``only_send``: both sides send, nobody receives.
+    - ``none``:  message not touched during message passing.
+    """
+
+    NONE = 0
+    LEFT_SENDS = enum.auto()  # left factor pushes its min-marginal to right
+    RIGHT_SENDS = enum.auto()  # right factor pushes its min-marginal to left
+    LEFT_RECEIVES = enum.auto()  # left factor pulls right's min-marginal
+    RIGHT_RECEIVES = enum.auto()  # right factor pulls left's min-marginal
+
+    @classmethod
+    def left(cls) -> "MessageSchedule":
+        return cls.LEFT_SENDS | cls.LEFT_RECEIVES
+
+    @classmethod
+    def right(cls) -> "MessageSchedule":
+        return cls.RIGHT_SENDS | cls.RIGHT_RECEIVES
+
+    @classmethod
+    def full(cls) -> "MessageSchedule":
+        return cls.left() | cls.right()
+
+    @classmethod
+    def only_send(cls) -> "MessageSchedule":
+        return cls.LEFT_SENDS | cls.RIGHT_SENDS
+
+    # --- predicates mirroring factors_messages.hxx:1530-1545 -------------
+    @property
+    def sends_to_right(self) -> bool:
+        return bool(self & MessageSchedule.LEFT_SENDS)
+
+    @property
+    def sends_to_left(self) -> bool:
+        return bool(self & MessageSchedule.RIGHT_SENDS)
+
+    @property
+    def left_receives(self) -> bool:
+        return bool(self & MessageSchedule.LEFT_RECEIVES)
+
+    @property
+    def right_receives(self) -> bool:
+        return bool(self & MessageSchedule.RIGHT_RECEIVES)
+
+
+class ReparametrizationMode(enum.Enum):
+    """Omega weight mode (config.hxx:72)."""
+
+    anisotropic = "anisotropic"
+    anisotropic2 = "anisotropic2"
+    uniform = "uniform"
+    damped_uniform = "damped_uniform"
+    mixed = "mixed"
+
+    @classmethod
+    def convert(cls, s: "str | ReparametrizationMode") -> "ReparametrizationMode":
+        """String conversion mirroring LPReparametrizationModeConvert (config.hxx:74-91)."""
+        if isinstance(s, cls):
+            return s
+        try:
+            return cls(s)
+        except ValueError:
+            raise ValueError(f"reparametrization mode {s!r} unknown") from None
+
+
+@dataclasses.dataclass
+class LpControl:
+    """Solver control struct returned by visitors (config.hxx:95-105)."""
+
+    repam: "ReparametrizationMode | None" = None
+    compute_primal: bool = False
+    compute_lower_bound: bool = False
+    tighten: bool = False
+    end: bool = False
+    error: bool = False
+    tighten_constraints: int = 0
+
+
+# ---------------------------------------------------------------------------
+# dtype policy
+# ---------------------------------------------------------------------------
+
+_DTYPE = np.float32
+
+
+def set_dtype(dtype) -> None:
+    global _DTYPE
+    _DTYPE = np.dtype(dtype).type
+
+
+def real_dtype():
+    """Compute dtype for dual costs (reference REAL, config.hxx:28)."""
+    return _DTYPE
+
+
+def eps_for(dtype=None) -> float:
+    """Numerical tolerance, per dtype (config.hxx:51)."""
+    dtype = np.dtype(dtype or _DTYPE)
+    return 1e-8 if dtype == np.float64 else 1e-6
+
+
+INDEX_DTYPE = np.int32
+
+# Large-but-finite stand-in for +inf in padded cost entries.  Using a finite
+# value keeps arithmetic NaN-free under jit (inf - inf) while dominating any
+# realistic cost.  The reference pads SIMD vectors with true +inf
+# (vector.hxx:89-116); we avoid that because padded lanes *do* enter
+# min-reductions and subtractions here.
+PAD_COST = 1e20
+
+# verbosity: 0 silent, 1 diagnostics, 2 debug (config.hxx:52-57)
+verbosity: int = 0
+
+
+def diagnostics() -> bool:
+    return verbosity >= 1
+
+
+def debug() -> bool:
+    return verbosity >= 2

@@ -1,0 +1,138 @@
+"""MRF problem constructor.
+
+Mirrors the downstream graphical-model constructor API documented by
+test/graphical_model.cpp (AddUnaryFactor / AddPairwiseFactor /
+AddTighteningTriplet) and the SRMP factor ordering: unaries ordered by
+variable index with each pairwise factor between its endpoints
+(forward relations u_i -> p -> u_j, LP_MP.h:697-702 usage).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..factors.potts import PAIRWISE_POTTS
+from ..factors.simplex import PAIRWISE_SIMPLEX, TERNARY_SIMPLEX, UNARY_SIMPLEX
+from ..graph import FactorGraph, FactorRef
+from ..messages.pairwise_triplet import (PAIRWISE_TRIPLET_12,
+                                         PAIRWISE_TRIPLET_13,
+                                         PAIRWISE_TRIPLET_23)
+from ..messages.simplex_marginalization import (UNARY_PAIRWISE_1,
+                                                UNARY_PAIRWISE_2,
+                                                UNARY_POTTS_1, UNARY_POTTS_2)
+
+
+def is_potts(m: np.ndarray) -> "float | None":
+    """If m == diff * [x1 != x2], return diff, else None."""
+    m = np.asarray(m)
+    if m.shape[0] != m.shape[1]:
+        return None
+    if not np.allclose(np.diag(m), 0.0):
+        return None
+    off = m[~np.eye(m.shape[0], dtype=bool)]
+    if off.size and np.allclose(off, off.flat[0]):
+        return float(off.flat[0])
+    return None
+
+
+class MrfConstructor:
+    """Problem constructor plugin (solver.hxx:63-67 tuple member analogue)."""
+
+    def __init__(self, graph: FactorGraph, pairwise_rep: str = "auto"):
+        assert pairwise_rep in ("auto", "dense", "potts")
+        self.graph = graph
+        self.pairwise_rep = pairwise_rep
+        self.unaries: list[FactorRef] = []
+        self.pairwise: dict[tuple[int, int], FactorRef] = {}
+        self.triplets: dict[tuple[int, int, int], FactorRef] = {}
+        self._prev_unary: "FactorRef | None" = None
+
+    # -- API pinned by test/graphical_model.cpp -----------------------------
+    def add_unary_factor(self, costs) -> FactorRef:
+        u = self.graph.add_factor(UNARY_SIMPLEX, np.asarray(costs, dtype=np.float64))
+        self.unaries.append(u)
+        if self._prev_unary is not None:
+            # chain relation keeps unaries in variable order (SRMP order)
+            self.graph.add_factor_relation(self._prev_unary, u)
+        self._prev_unary = u
+        return u
+
+    def add_pairwise_factor(self, i: int, j: int, costs) -> FactorRef:
+        assert i < j, "pairwise factor endpoints must be ordered"
+        assert (i, j) not in self.pairwise
+        costs = np.asarray(costs, dtype=np.float64)
+        ui, uj = self.unaries[i], self.unaries[j]
+
+        diff = is_potts(costs) if self.pairwise_rep == "auto" else None
+        if self.pairwise_rep == "potts" or diff is not None:
+            if diff is None:
+                d = is_potts(costs)
+                assert d is not None, "pairwise_rep='potts' requires Potts costs"
+                diff = d
+            p = self.graph.add_factor(PAIRWISE_POTTS, (costs.shape[0], diff))
+            m1, m2 = UNARY_POTTS_1, UNARY_POTTS_2
+        else:
+            p = self.graph.add_factor(PAIRWISE_SIMPLEX, costs)
+            m1, m2 = UNARY_PAIRWISE_1, UNARY_PAIRWISE_2
+
+        self.graph.add_message(m1, ui, p)
+        self.graph.add_message(m2, uj, p)
+        self.graph.add_factor_relation(ui, p)
+        self.graph.add_factor_relation(p, uj)
+        self.pairwise[(i, j)] = p
+        return p
+
+    def get_pairwise_factor(self, i: int, j: int) -> FactorRef:
+        return self.pairwise[(i, j)]
+
+    def add_tightening_triplet(self, i: int, j: int, k: int) -> FactorRef:
+        """Zero-cost ternary simplex coupled to the three pairwise factors
+        (test/graphical_model.cpp:140-204).  Pairwise factors must be dense
+        (use pairwise_rep='dense' when tightening)."""
+        assert i < j < k
+        key = (i, j, k)
+        if key in self.triplets:
+            return self.triplets[key]
+        li = self._n_labels(i)
+        lj = self._n_labels(j)
+        lk = self._n_labels(k)
+        t = self.graph.add_factor(TERNARY_SIMPLEX, np.zeros((li, lj, lk)))
+        for (a, b), mt in (((i, j), PAIRWISE_TRIPLET_12),
+                           ((i, k), PAIRWISE_TRIPLET_13),
+                           ((j, k), PAIRWISE_TRIPLET_23)):
+            assert (a, b) in self.pairwise, f"missing pairwise factor {(a, b)}"
+            p = self.pairwise[(a, b)]
+            assert p.ftype is PAIRWISE_SIMPLEX, \
+                "tightening requires dense pairwise factors (pairwise_rep='dense')"
+            self.graph.add_message(mt, p, t)
+            self.graph.add_factor_relation(p, t)
+        # keep the triplet before the last unary so later factors can still
+        # receive its mass in the same sweep
+        self.graph.add_factor_relation(t, self.unaries[k])
+        self.triplets[key] = t
+        return t
+
+    def _n_labels(self, i: int) -> int:
+        ft, data = self.graph.factors[self.unaries[i].fid]
+        return len(data)
+
+    # -- tightening (cycle separation comes in a later milestone) ----------
+    def tighten(self, engine, max_constraints: int) -> int:
+        """Triplet search via frustrated-triangle scoring on the current
+        reparametrization (test/graphical_model.cpp:191-204 acceptance).
+
+        For each triangle of pairwise factors, the guaranteed dual increase
+        of adding its triplet is lb(joint triple) - sum of independent
+        bounds; we approximate with the standard MPLP criterion."""
+        from .tightening import triplet_search
+        return triplet_search(self, engine, max_constraints)
+
+
+# -- primal extraction -------------------------------------------------------
+
+def mrf_labeling(constructor: MrfConstructor, engine, prim) -> np.ndarray:
+    """Per-variable labels from a primal pytree."""
+    x = np.asarray(prim[UNARY_SIMPLEX.name]["x"])
+    out = np.empty(len(constructor.unaries), dtype=np.int64)
+    for v, u in enumerate(constructor.unaries):
+        out[v] = x[engine.f_local[u.fid]]
+    return out

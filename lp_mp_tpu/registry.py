@@ -1,0 +1,127 @@
+"""Factor/message type protocols.
+
+The reference's template machinery (FactorContainer/MessageContainer,
+factors_messages.hxx) exists to make heterogeneous per-object dispatch fast
+on a CPU.  The TPU-native design inverts this: a *factor type* describes how
+to batch all its instances into dense padded tensors and provides batched
+(vmapped-by-construction) reductions; a *message type* describes the
+min-marginal operator between two factor types plus the scatter that applies
+a reparametrization delta to each side.
+
+Sign/semantics contract (mirrors MessageContainerView, factors_messages.hxx:
+425-510): when factor A sends over a message with weight omega,
+
+    delta = omega * min_marginal_A        (computed from A's current costs)
+    A     -= delta                        (repam on A's slice)
+    B     += delta                        (repam on B's slice)
+
+"A receives from B" is B sending with omega=1.  Both operations are zero-sum
+cost shifts, so the total objective is invariant and each one cannot
+decrease LowerBound(A)+LowerBound(B) (factors_messages.hxx:2457-2464).
+
+Padding contract: invalid (padded) cost entries hold ``config.PAD_COST`` and
+must stay there.  Marginal operators must return **zero** on invalid message
+coordinates (helper ``mask_pad``), so padded entries are never perturbed.
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import PAD_COST, MessageSchedule
+
+
+def mask_pad(delta: jnp.ndarray) -> jnp.ndarray:
+    """Zero out entries of a marginal that came from padded cost lanes."""
+    return jnp.where(jnp.abs(delta) >= PAD_COST / 2, jnp.zeros_like(delta), delta)
+
+
+class FactorType:
+    """Batched factor type. Subclasses are stateless singletons.
+
+    Batched state of F instances is a dict of arrays with leading dim F
+    ("block").  ``build`` packs per-instance data into that block (with
+    padding); all other methods are pure batched array functions.
+    """
+
+    name: str = "factor"
+
+    # -- construction ------------------------------------------------------
+    def build(self, instances: Sequence[Any]) -> dict:
+        """Pack instance data into a padded batched block (numpy)."""
+        raise NotImplementedError
+
+    # -- dual --------------------------------------------------------------
+    def lower_bound(self, costs: dict) -> jnp.ndarray:
+        """[F] per-factor lower bound = min over local labelings (LP_MP.h:1507)."""
+        raise NotImplementedError
+
+    # -- primal ------------------------------------------------------------
+    def init_primal(self, costs: dict) -> dict:
+        """Fresh 'unset' primal block (reference init_primal, set to sentinel -1)."""
+        raise NotImplementedError
+
+    def compute_primal(self, costs: dict, primal: dict) -> dict:
+        """MaximizePotentialAndComputePrimal: fill unset entries with local argmin."""
+        return primal
+
+    def evaluate_primal(self, costs: dict, primal: dict) -> jnp.ndarray:
+        """[F] cost of current labeling; +inf where primal invalid (LP_MP.h:1520)."""
+        raise NotImplementedError
+
+    # -- housekeeping ------------------------------------------------------
+    def dual_vector(self, costs: dict) -> jnp.ndarray:
+        """Flatten dual state to [F, D] (serialization.hxx analogue)."""
+        raise NotImplementedError
+
+
+class MessageType:
+    """Batched message type between ``left_type`` and ``right_type`` factors.
+
+    One instance set = index arrays (left_idx[M], right_idx[M]) plus optional
+    static per-message data.  The min-marginal operators receive *gathered*
+    cost slices (leading dim M).
+    """
+
+    name: str = "message"
+    left_type: FactorType
+    right_type: FactorType
+    schedule: MessageSchedule = MessageSchedule.left()
+
+    def build(self, instances: Sequence[Any]) -> dict:
+        """Pack per-message static data (may be empty)."""
+        return {}
+
+    # -- marginals ---------------------------------------------------------
+    def marginal_left(self, left_costs: dict, data: dict) -> jnp.ndarray:
+        """[M, D...] min-marginal the LEFT factor pushes (send_message_to_right)."""
+        raise NotImplementedError
+
+    def marginal_right(self, right_costs: dict, data: dict) -> jnp.ndarray:
+        """[M, D...] min-marginal the RIGHT factor pushes (send_message_to_left)."""
+        raise NotImplementedError
+
+    # -- reparametrization scatters ---------------------------------------
+    def repam_left(self, costs: dict, idx: jnp.ndarray, delta: jnp.ndarray, data: dict) -> dict:
+        """costs[left block] at idx += delta (duplicate indices accumulate)."""
+        raise NotImplementedError
+
+    def repam_right(self, costs: dict, idx: jnp.ndarray, delta: jnp.ndarray, data: dict) -> dict:
+        raise NotImplementedError
+
+    # -- primal ------------------------------------------------------------
+    def propagate_primal_l2r(self, left_primal: dict, right_primal: dict,
+                             lidx, ridx, data: dict) -> dict:
+        """ComputeRightFromLeftPrimal on the batch; returns updated right block."""
+        return right_primal
+
+    def propagate_primal_r2l(self, left_primal: dict, right_primal: dict,
+                             lidx, ridx, data: dict) -> dict:
+        return left_primal
+
+    def consistent(self, left_primal: dict, right_primal: dict,
+                   lidx, ridx, data: dict) -> jnp.ndarray:
+        """[M] bool CheckPrimalConsistency per message."""
+        return jnp.ones(np.shape(lidx)[0], dtype=bool)

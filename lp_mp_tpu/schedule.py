@@ -1,0 +1,410 @@
+"""Schedule compiler: orderings, omega weights, and parallel phases.
+
+Host-side (NumPy) replica of the reference's weight machinery:
+
+- topological sort of the factor-relation DAG  (topological_sort.hxx:62-145,
+  LP_MP.h:731-797) with identical DFS tie-breaking,
+- SRMP anisotropic weights                      (LP_MP.h:1230-1415),
+- anisotropic2 weights                          (LP_MP.h:1084-1154),
+- uniform / damped-uniform weights              (LP_MP.h:1420-1449),
+- mixed weights                                 (LP_MP.h:1451-1478),
+- full receive masks                            (LP_MP.h:1480-1505).
+
+On top of that, the *phase decomposition* restructures the sequential sweep
+into parallel wavefront phases: updated factors are levelized so that two
+factors share a phase only if their touched state (own costs + all adjacent
+factors' costs) is disjoint.  Executing phases in sequence with each phase
+batched is then exactly equivalent to the reference's sequential sweep in
+the given total order (same block-coordinate steps, same data dependencies).
+This is the TPU-native counterpart of the reference's partition passes
+(LP_MP.h:1931-2051) and OpenMP conflict analysis (LP_MP.h:800-866).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+
+from .config import MessageSchedule, ReparametrizationMode
+
+
+# ---------------------------------------------------------------------------
+# Host-side message description
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class MessageDesc:
+    """One message instance, host view."""
+
+    left: int   # factor id
+    right: int  # factor id
+    schedule: MessageSchedule
+
+
+def factor_updated_mask(n_factors: int, messages: Sequence[MessageDesc]) -> np.ndarray:
+    """FactorUpdated() per factor: has any send/receive activity on its side
+    (factors_messages.hxx:3125-3140)."""
+    upd = np.zeros(n_factors, dtype=bool)
+    for m in messages:
+        s = m.schedule
+        if s.sends_to_right or s.left_receives:
+            upd[m.left] = True
+        if s.sends_to_left or s.right_receives:
+            upd[m.right] = True
+    return upd
+
+
+# ---------------------------------------------------------------------------
+# Topological sort (reference-identical DFS reverse postorder)
+# ---------------------------------------------------------------------------
+
+def toposort(n: int, edges: Sequence[tuple[int, int]]) -> list[int]:
+    """Iterative DFS reverse-postorder, same traversal order as
+    Topological_Sort::Graph::topologicalSort (topological_sort.hxx:62-145):
+    roots scanned 0..n-1, neighbors in edge-insertion order."""
+    adj: list[list[int]] = [[] for _ in range(n)]
+    indeg = np.zeros(n, dtype=np.int64)
+    for v, w in edges:
+        adj[v].append(w)
+        indeg[w] += 1
+    # cycle check via Kahn count (the reference throws "graph not a dag")
+    q = [i for i in range(n) if indeg[i] == 0]
+    seen = 0
+    indeg2 = indeg.copy()
+    while q:
+        v = q.pop()
+        seen += 1
+        for w in adj[v]:
+            indeg2[w] -= 1
+            if indeg2[w] == 0:
+                q.append(w)
+    if seen != n:
+        raise ValueError("graph not a dag")
+
+    mark = np.zeros(n, dtype=np.uint8)  # 0 unmarked, 2 visited
+    post: list[int] = []
+    for root in range(n):
+        if mark[root]:
+            continue
+        stack: list[tuple[int, int]] = [(root, 0)]
+        mark[root] = 2
+        while stack:
+            node, it = stack[-1]
+            nbrs = adj[node]
+            while it < len(nbrs) and mark[nbrs[it]]:
+                it += 1
+            if it < len(nbrs):
+                nxt = nbrs[it]
+                stack[-1] = (node, it + 1)
+                mark[nxt] = 2
+                stack.append((nxt, 0))
+            else:
+                stack.pop()
+                post.append(node)
+    post.reverse()
+    return post
+
+
+# ---------------------------------------------------------------------------
+# Omega weights
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class Weights:
+    """Per-message-instance weights/masks for one sweep direction.
+
+    ``omega_left[m]``  : weight when the left factor sends over m (0 = skip)
+    ``omega_right[m]`` : weight when the right factor sends over m
+    ``recv_left[m]``   : left factor receives right's marginal during its update
+    ``recv_right[m]``  : right factor receives left's marginal
+    """
+
+    omega_left: np.ndarray
+    omega_right: np.ndarray
+    recv_left: np.ndarray
+    recv_right: np.ndarray
+
+
+def _per_factor_views(n: int, messages: Sequence[MessageDesc]):
+    """For each factor: list of (msg_index, is_left_side)."""
+    views: list[list[tuple[int, bool]]] = [[] for _ in range(n)]
+    for i, m in enumerate(messages):
+        views[m.left].append((i, True))
+        views[m.right].append((i, False))
+    return views
+
+
+def _side_flags(m: MessageDesc, is_left: bool):
+    """(sends, receives, adj_sends, adj_receives) from one side's perspective
+    (message_trait, LP_MP.h:123-144)."""
+    s = m.schedule
+    if is_left:
+        return s.sends_to_right, s.left_receives, s.sends_to_left, s.right_receives
+    return s.sends_to_left, s.right_receives, s.sends_to_right, s.left_receives
+
+
+def compute_anisotropic_weights(order: Sequence[int], n: int,
+                                messages: Sequence[MessageDesc],
+                                updated: np.ndarray) -> Weights:
+    """SRMP anisotropic weights, full-graph case (LP_MP.h:1230-1415)."""
+    M = len(messages)
+    pos = np.empty(n, dtype=np.int64)
+    pos[np.asarray(order)] = np.arange(n)
+    views = _per_factor_views(n, messages)
+
+    # pass 1: receiving-factor statistics per factor (LP_MP.h:1242-1261)
+    no_receiving_later = np.zeros(n, dtype=np.int64)
+    last_receiving = np.zeros(n, dtype=np.int64)
+    first_receiving = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    for f in range(n):
+        for mi, is_left in views[f]:
+            m = messages[mi]
+            _, _, _, adj_receives = _side_flags(m, is_left)
+            a = m.right if is_left else m.left
+            if adj_receives and pos[a] > pos[f]:
+                no_receiving_later[f] += 1
+                last_receiving[f] = max(last_receiving[f], pos[a])
+                first_receiving[f] = min(first_receiving[f], pos[a])
+
+    omega_left = np.zeros(M)
+    omega_right = np.zeros(M)
+    recv_left = np.zeros(M, dtype=bool)
+    recv_right = np.zeros(M, dtype=bool)
+
+    # pass 2: per updated factor, flags + SRMP weight (LP_MP.h:1306-1408)
+    for f in range(n):
+        if not updated[f]:
+            continue
+        fi = pos[f]
+        send_flags: list[tuple[int, bool, bool]] = []  # (msg, is_left, flag)
+        total_send = 0
+        for mi, is_left in views[f]:
+            m = messages[mi]
+            sends, receives, _, _ = _side_flags(m, is_left)
+            a = m.right if is_left else m.left
+            if sends:
+                total_send += 1
+                flag = (fi < pos[a] and updated[a]) or (last_receiving[a] > fi)
+                send_flags.append((mi, is_left, flag))
+            if receives:
+                flag = (pos[a] < fi) or (first_receiving[a] < fi)
+                if is_left:
+                    recv_left[mi] = flag
+                else:
+                    recv_right[mi] = flag
+
+        aniso = sum(1 for _, _, fl in send_flags if fl)
+        if aniso > 0:
+            w = 1.0 / (no_receiving_later[f] + max(aniso, total_send - aniso))
+            for mi, is_left, fl in send_flags:
+                if fl:
+                    if is_left:
+                        omega_left[mi] = w
+                    else:
+                        omega_right[mi] = w
+    return Weights(omega_left, omega_right, recv_left, recv_right)
+
+
+def compute_anisotropic2_weights(order: Sequence[int], n: int,
+                                 messages: Sequence[MessageDesc],
+                                 updated: np.ndarray) -> Weights:
+    """omega = 1/#(messages sent to later factors); receive iff adjacent
+    earlier (LP_MP.h:1084-1154)."""
+    M = len(messages)
+    pos = np.empty(n, dtype=np.int64)
+    pos[np.asarray(order)] = np.arange(n)
+    views = _per_factor_views(n, messages)
+
+    no_send_later = np.zeros(n, dtype=np.int64)
+    for i, m in enumerate(messages):
+        if m.schedule.sends_to_right and pos[m.left] < pos[m.right]:
+            no_send_later[m.left] += 1
+        if m.schedule.sends_to_left and pos[m.right] < pos[m.left]:
+            no_send_later[m.right] += 1
+
+    omega_left = np.zeros(M)
+    omega_right = np.zeros(M)
+    recv_left = np.zeros(M, dtype=bool)
+    recv_right = np.zeros(M, dtype=bool)
+    for f in range(n):
+        if not updated[f]:
+            continue
+        for mi, is_left in views[f]:
+            m = messages[mi]
+            sends, receives, _, _ = _side_flags(m, is_left)
+            a = m.right if is_left else m.left
+            if sends and pos[f] < pos[a]:
+                w = 1.0 / no_send_later[f]
+                if is_left:
+                    omega_left[mi] = w
+                else:
+                    omega_right[mi] = w
+            if receives and pos[a] < pos[f]:
+                if is_left:
+                    recv_left[mi] = True
+                else:
+                    recv_right[mi] = True
+    return Weights(omega_left, omega_right, recv_left, recv_right)
+
+
+def compute_uniform_weights(order: Sequence[int], n: int,
+                            messages: Sequence[MessageDesc],
+                            updated: np.ndarray,
+                            leave_weight: float) -> Weights:
+    """omega = 1/(#send + leave_weight); full receive mask
+    (LP_MP.h:1420-1449, 1480-1505)."""
+    M = len(messages)
+    views = _per_factor_views(n, messages)
+    omega_left = np.zeros(M)
+    omega_right = np.zeros(M)
+    recv_left = np.zeros(M, dtype=bool)
+    recv_right = np.zeros(M, dtype=bool)
+    for f in range(n):
+        if not updated[f]:
+            continue
+        n_send = 0
+        for mi, is_left in views[f]:
+            sends, receives, _, _ = _side_flags(messages[mi], is_left)
+            if sends:
+                n_send += 1
+            if receives:
+                if is_left:
+                    recv_left[mi] = True
+                else:
+                    recv_right[mi] = True
+        if n_send == 0:
+            continue
+        w = 1.0 / (n_send + leave_weight)
+        for mi, is_left in views[f]:
+            sends, _, _, _ = _side_flags(messages[mi], is_left)
+            if sends:
+                if is_left:
+                    omega_left[mi] = w
+                else:
+                    omega_right[mi] = w
+    return Weights(omega_left, omega_right, recv_left, recv_right)
+
+
+def compute_weights(mode: ReparametrizationMode, order: Sequence[int], n: int,
+                    messages: Sequence[MessageDesc],
+                    updated: np.ndarray) -> Weights:
+    if mode == ReparametrizationMode.anisotropic:
+        return compute_anisotropic_weights(order, n, messages, updated)
+    if mode == ReparametrizationMode.anisotropic2:
+        return compute_anisotropic2_weights(order, n, messages, updated)
+    if mode == ReparametrizationMode.uniform:
+        return compute_uniform_weights(order, n, messages, updated, 0.0)
+    if mode == ReparametrizationMode.damped_uniform:
+        return compute_uniform_weights(order, n, messages, updated, 1.0)
+    if mode == ReparametrizationMode.mixed:
+        # average of anisotropic and damped uniform omegas, full receive mask
+        # (LP_MP.h:1451-1478; the reference flags this mode assert(false))
+        a = compute_anisotropic_weights(order, n, messages, updated)
+        d = compute_uniform_weights(order, n, messages, updated, 1.0)
+        return Weights(0.5 * (a.omega_left + d.omega_left),
+                       0.5 * (a.omega_right + d.omega_right),
+                       d.recv_left, d.recv_right)
+    raise ValueError(f"unknown reparametrization mode {mode}")
+
+
+def omega_valid(weights: Weights, n: int, messages: Sequence[MessageDesc]) -> bool:
+    """Sum of omegas per sending factor <= 1, all >= 0 (LP_MP.h:1007-1014)."""
+    if (weights.omega_left < 0).any() or (weights.omega_right < 0).any():
+        return False
+    acc = np.zeros(n)
+    for i, m in enumerate(messages):
+        acc[m.left] += weights.omega_left[i]
+        acc[m.right] += weights.omega_right[i]
+    return bool((acc <= 1.0 + 1e-6).all())
+
+
+# ---------------------------------------------------------------------------
+# Phase decomposition
+# ---------------------------------------------------------------------------
+
+def levelize(order: Sequence[int], n: int, messages: Sequence[MessageDesc],
+             updated: np.ndarray) -> list[list[int]]:
+    """Partition the updated factors (in sweep order) into parallel phases.
+
+    An updated factor's update *touches* its own costs and every adjacent
+    factor's costs.  Factor f is placed in the earliest phase strictly after
+    every earlier-ordered updated factor whose touch-set intersects f's.
+    Running phases sequentially, each phase fully batched, is then exactly
+    the sequential sweep (all cross-factor data dependencies respected;
+    within a phase all touch-sets are disjoint).
+    """
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for m in messages:
+        adj[m.left].append(m.right)
+        adj[m.right].append(m.left)
+
+    taken = np.full(n, -1, dtype=np.int64)  # max phase among earlier touches
+    phases: list[list[int]] = []
+    for f in order:
+        if not updated[f]:
+            continue
+        touch = adj[f] + [f]
+        p = int(max(taken[h] for h in touch)) + 1
+        if p == len(phases):
+            phases.append([])
+        phases[p].append(f)
+        for h in touch:
+            if taken[h] < p:
+                taken[h] = p
+    return phases
+
+
+def coloring_order(n: int, messages: Sequence[MessageDesc],
+                   updated: np.ndarray) -> list[int]:
+    """Reorder factors so that levelize() yields few phases.
+
+    Greedy-colors the conflict graph over updated factors (conflict = shared
+    adjacent factor or direct adjacency), orders updated factors by color,
+    and slots each passive factor directly after its earliest-ordered
+    neighbor (so anisotropic weights see it "between" its endpoints, like
+    the reference's interleaved factor relations).  For a grid MRF this
+    reproduces a red/black schedule with 2 phases.
+    """
+    adj: list[set[int]] = [set() for _ in range(n)]
+    for m in messages:
+        adj[m.left].add(m.right)
+        adj[m.right].add(m.left)
+
+    color = np.full(n, -1, dtype=np.int64)
+    for f in range(n):
+        if not updated[f]:
+            continue
+        used = set()
+        for h in list(adj[f]) + [f]:
+            for g in adj[h]:
+                if g != f and updated[g] and color[g] >= 0:
+                    used.add(int(color[g]))
+            if h != f and updated[h] and color[h] >= 0:
+                used.add(int(color[h]))
+        c = 0
+        while c in used:
+            c += 1
+        color[f] = c
+
+    upd_sorted = sorted((f for f in range(n) if updated[f]),
+                        key=lambda f: (color[f], f))
+    pos_of = {f: i for i, f in enumerate(upd_sorted)}
+
+    by_anchor: dict[int, list[int]] = {}
+    tail: list[int] = []
+    for f in range(n):
+        if updated[f]:
+            continue
+        anchors = [pos_of[g] for g in adj[f] if g in pos_of]
+        if anchors:
+            by_anchor.setdefault(min(anchors), []).append(f)
+        else:
+            tail.append(f)
+
+    out: list[int] = []
+    for i, f in enumerate(upd_sorted):
+        out.append(f)
+        out.extend(by_anchor.get(i, ()))
+    out.extend(tail)
+    return out

@@ -1,0 +1,109 @@
+"""Solver loop.
+
+Replicates ``Solver`` / ``MpRoundingSolver`` (solver.hxx:29-400):
+
+    Begin -> { PreIterate(set repam) ; Iterate(ComputePass[AndPrimal]) ;
+               PostIterate(LowerBound, Tighten) } while visitor continues
+          -> End -> RegisterPrimal -> best primal available.
+
+Tightening grows the factor graph; the engine is then recompiled with the
+current reparametrization carried over row-wise (the reference mutates its
+LP in place; XLA recompiles on shape growth, which tightening amortizes).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from .config import Direction, LpControl
+from .engine import Engine
+from .graph import FactorGraph
+from .visitors import StandardVisitor
+
+
+class Solver:
+    def __init__(self, visitor: "StandardVisitor | None" = None,
+                 schedule_mode: str = "wavefront", use_jit: bool = True):
+        self.graph = FactorGraph()
+        self.visitor = visitor if visitor is not None else StandardVisitor()
+        self.schedule_mode = schedule_mode
+        self.use_jit = use_jit
+        self.constructors: list[Any] = []
+        self.engine: "Engine | None" = None
+        self.lower_bound_: float = float("-inf")
+        self.best_primal_cost: float = float("inf")
+        self.best_primal: Any = None
+
+    def add_constructor(self, ctor_cls, **kwargs):
+        """GetProblemConstructor analogue (solver.hxx:111-118)."""
+        c = ctor_cls(self.graph, **kwargs)
+        self.constructors.append(c)
+        return c
+
+    # ------------------------------------------------------------------
+    def build_engine(self) -> Engine:
+        old = self.engine
+        self.engine = Engine(self.graph, schedule_mode=self.schedule_mode,
+                             use_jit=self.use_jit)
+        if old is not None:
+            # carry reparametrized duals over: old rows are a prefix of the
+            # new blocks and old padded lanes stay padded
+            for name, block in old.state.items():
+                new_block = self.engine.state[name]
+                for k, v in block.items():
+                    sl = tuple(slice(0, s) for s in v.shape)
+                    new_block[k] = new_block[k].at[sl].set(v)
+        return self.engine
+
+    # ------------------------------------------------------------------
+    def register_primal(self, prim) -> float:
+        """Keep best feasible primal (solver.hxx:321-340)."""
+        cost = self.engine.evaluate_primal(prim)
+        if cost < self.best_primal_cost:
+            self.best_primal_cost = cost
+            self.best_primal = prim
+        return cost
+
+    def tighten(self, max_constraints: int) -> int:
+        """Fan out to constructors implementing tighten() (solver.hxx:192-212)."""
+        added = 0
+        for c in self.constructors:
+            if hasattr(c, "tighten"):
+                added += c.tighten(self.engine, max_constraints - added)
+        if added:
+            self.build_engine()
+        return added
+
+    # ------------------------------------------------------------------
+    def solve(self) -> float:
+        if self.engine is None:
+            self.build_engine()
+        c = self.visitor.begin(self.engine)
+        while not (c.end or c.error):
+            # PreIterate + Iterate (solver.hxx:267-275)
+            if c.compute_primal:
+                # MpRoundingSolver::Iterate (solver.hxx:387-397)
+                prim = self.engine.compute_pass_and_primal(c.repam, Direction.forward)
+                self.register_primal(prim)
+                prim = self.engine.compute_pass_and_primal(c.repam, Direction.backward)
+                self.register_primal(prim)
+            else:
+                self.engine.compute_pass(c.repam)
+            # PostIterate (solver.hxx:277-287)
+            if c.compute_lower_bound:
+                self.lower_bound_ = self.engine.lower_bound()
+            if c.tighten:
+                self.tighten(c.tighten_constraints)
+            c = self.visitor.visit(c, self.lower_bound_, self.best_primal_cost)
+
+        self.lower_bound_ = self.engine.lower_bound()
+        self.visitor.end(self.lower_bound_, self.best_primal_cost)
+        return self.lower_bound_
+
+    # reference naming (solver.hxx:341-346)
+    def lower_bound(self) -> float:
+        return self.lower_bound_
+
+    def primal_cost(self) -> float:
+        return self.best_primal_cost

@@ -1,0 +1,17 @@
+import os
+
+# Run the test suite on a virtual 8-device CPU mesh with float64 enabled so
+# parity checks against the sequential oracle are exact; TPU execution is
+# exercised by bench.py / __graft_entry__.py.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+from lp_mp_tpu import config  # noqa: E402
+
+config.set_dtype("float64")
