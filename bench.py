@@ -54,17 +54,17 @@ def main():
 
     u, hc, vc = random_grid(H, W, L, seed=1)
     m = GridPottsModel(u, hc, vc)
-    params = m._mode_params("anisotropic")
-    s = m.state
-    for _ in range(WARMUP):
-        s = m._iterate(s, params)
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), s)
+    chunk = 25
+    m.run_fast(chunk)  # compile + warmup
+    jax.tree_util.tree_map(lambda x: x.block_until_ready(), m.state)
+    n_chunks = 4
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        s = m._iterate(s, params)
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), s)
+    for _ in range(n_chunks):
+        m.run_fast(chunk)
+    jax.tree_util.tree_map(lambda x: x.block_until_ready(), m.state)
     dt = time.perf_counter() - t0
-    its = ITERS / dt
+    its = n_chunks * chunk / dt
+    assert m.lower_bound() > -float("inf")
 
     ref = reference_its()
     vs = its / ref if ref == ref and ref > 0 else None
