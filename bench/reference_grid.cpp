@@ -119,10 +119,13 @@ struct Grid {
 };
 
 int main(int argc, char** argv) {
+    // reference_grid H W L iters [instance.bin]
+    // instance.bin: raw little-endian doubles u[H*W*L], hc[H*(W-1)], vc[(H-1)*W]
     int H = argc > 1 ? atoi(argv[1]) : 1000;
     int W = argc > 2 ? atoi(argv[2]) : 1000;
     int L = argc > 3 ? atoi(argv[3]) : 4;
     int iters = argc > 4 ? atoi(argv[4]) : 10;
+    const char* file = argc > 5 ? argv[5] : nullptr;
     if (L > 64) { fprintf(stderr, "L too large\n"); return 1; }
 
     Grid g;
@@ -134,16 +137,27 @@ int main(int argc, char** argv) {
     g.vm2 = g.vm1;
     g.hc.resize((size_t)H * (W - 1));
     g.vc.resize((size_t)(H - 1) * W);
-    mt19937_64 rng(1);
-    normal_distribution<double> nd;
-    for (auto& x : g.u) x = nd(rng);
-    for (auto& x : g.hc) x = fabs(nd(rng));
-    for (auto& x : g.vc) x = fabs(nd(rng));
+    if (file) {
+        FILE* f = fopen(file, "rb");
+        if (!f) { fprintf(stderr, "cannot open %s\n", file); return 1; }
+        if (fread(g.u.data(), 8, g.u.size(), f) != g.u.size() ||
+            fread(g.hc.data(), 8, g.hc.size(), f) != g.hc.size() ||
+            fread(g.vc.data(), 8, g.vc.size(), f) != g.vc.size()) {
+            fprintf(stderr, "short read\n"); return 1;
+        }
+        fclose(f);
+    } else {
+        mt19937_64 rng(1);
+        normal_distribution<double> nd;
+        for (auto& x : g.u) x = nd(rng);
+        for (auto& x : g.hc) x = fabs(nd(rng));
+        for (auto& x : g.vc) x = fabs(nd(rng));
+    }
 
-    g.iterate(); // warmup
+    g.iterate(); // warmup (also the first dual iteration)
     auto t0 = chrono::steady_clock::now();
-    for (int i = 0; i < iters; ++i) g.iterate();
+    for (int i = 0; i < iters - 1; ++i) g.iterate();
     double dt = chrono::duration<double>(chrono::steady_clock::now() - t0).count();
-    printf("{\"its\": %.4f, \"lb\": %.4f}\n", iters / dt, g.lower_bound());
+    printf("{\"its\": %.4f, \"lb\": %.9f}\n", (iters - 1) / dt, g.lower_bound());
     return 0;
 }
