@@ -1,0 +1,194 @@
+"""Pallas TPU kernel for the grid-Potts color-phase update.
+
+One phase of the red/black SRMP sweep (receive incident potts marginals,
+send omega-weighted shares back — models/grid_potts.py semantics) fused
+into a single VMEM-resident kernel: ~160 MB of HBM traffic per phase
+(read + write of the five state arrays) instead of the XLA version's
+materialized marginal/pad intermediates.
+
+Layout contract (padded "mask form"):
+  - all five state arrays are [L, Hp, Wp], f32;
+  - real cells live at rows [P, P+H), cols [1, 1+W); everything else is
+    inert (zeros, masks zero) — Wp is lane-aligned, Hp a multiple of the
+    row tile TH;
+  - h-edge (r,c)-(r,c+1) lives at (r, c) of hm1/hm2/hc for c in [1, W);
+    v-edge (r,c)-(r+1,c) at (r, c) of vm1/vm2/vc for r in [P, P+H-1);
+  - masks (cell/hedge/vedge/parity/deg) are recomputed in-kernel from
+    iota, so only the seven data arrays move through HBM.
+
+Each grid step owns TH output rows; it DMAs TH+3 input rows (one halo row
+above, two below — the send into vm2[r] needs the post-receive cost of row
+r+1) from HBM with clamped offsets, computes the update entirely in VMEM,
+and writes the masked center rows.  Wrap-around garbage from the local
+shifts is always multiplied by a zero mask (inert rows/cols), and every
+output is re-masked so inert storage stays exactly zero.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _roll(x, k, axis):
+    """jnp.roll semantics (out[i] = x[i-k]); pltpu.roll wants k >= 0."""
+    n = x.shape[axis]
+    return pltpu.roll(x, k % n, axis=axis)
+
+
+def _shift_rows(x, k):
+    """out[r] = x[r-k] along axis -2 (wrap; wrapped lanes must be masked)."""
+    return _roll(x, k, x.ndim - 2)
+
+
+def _shift_cols(x, k):
+    return _roll(x, k, x.ndim - 1)
+
+
+def _min2(v):
+    """(min, min-except) over axis 0 of [L, R, C]; tie-safe, argmin-free:
+    if the min occurs twice, every lane's except-min is the min itself."""
+    m = jnp.min(v, axis=0, keepdims=True)
+    ismin = v == m
+    cnt = jnp.sum(ismin.astype(v.dtype), axis=0, keepdims=True)
+    big = jnp.asarray(3e38, v.dtype)
+    s = jnp.min(jnp.where(ismin, big, v), axis=0, keepdims=True)
+    s = jnp.where(cnt > 1, m, s)
+    return m, jnp.where(ismin, s, m)
+
+
+def _marg(own, other, diff):
+    """Potts marginal toward `own`'s side (factors/potts.py.marginal)."""
+    if own.shape[0] == 1:
+        return own + other
+    _, me = _min2(other)
+    return own + jnp.minimum(other, me + diff[None])
+
+
+def _phase_kernel(params_ref,  # SMEM int32 [3]: recv_color, send_color, leave_x10
+                  u_hbm, hm1_hbm, hm2_hbm, vm1_hbm, vm2_hbm, hc_hbm, vc_hbm,
+                  u_out, hm1_out, hm2_out, vm1_out, vm2_out,
+                  u_s, hm1_s, hm2_s, vm1_s, vm2_s, hc_s, vc_s, sems,
+                  *, L, Hp, Wp, H, W, P, TH):
+    i = pl.program_id(0)
+    start = i * TH
+    top = jnp.clip(start - 1, 0, Hp - (TH + 3))
+    c0 = start - top
+
+    copies = []
+    for hbm, vmem in ((u_hbm, u_s), (hm1_hbm, hm1_s), (hm2_hbm, hm2_s),
+                      (vm1_hbm, vm1_s), (vm2_hbm, vm2_s)):
+        copies.append(pltpu.make_async_copy(
+            hbm.at[:, pl.ds(top, TH + 3), :], vmem, sems.at[len(copies)]))
+    for hbm, vmem in ((hc_hbm, hc_s), (vc_hbm, vc_s)):
+        # 2-D HBM->VMEM DMA with dynamic offsets hangs on this stack, so
+        # hc/vc travel with a leading singleton dim
+        copies.append(pltpu.make_async_copy(
+            hbm.at[:, pl.ds(top, TH + 3), :], vmem, sems.at[len(copies)]))
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    f32 = jnp.float32
+    R = TH + 3
+    rows = top + jax.lax.broadcasted_iota(jnp.int32, (R, Wp), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R, Wp), 1)
+    # masks as f32 products (Mosaic dislikes i1 vector selects)
+    in_rows = (rows >= P).astype(f32) * (rows < P + H).astype(f32)
+    in_cols = (cols >= 1).astype(f32) * (cols < 1 + W).astype(f32)
+    cellf = in_rows * in_cols
+    hedge = cellf * (cols < W).astype(f32)
+    vedge = cellf * (rows < P + H - 1).astype(f32)
+    parity = ((rows - P + cols - 1) % 2).astype(f32)  # 0 for black cells
+    black = cellf * (1.0 - parity)
+    red = cellf - black
+    deg = hedge + _shift_cols(hedge, 1) + vedge + _shift_rows(vedge, 1)
+
+    recv_color = params_ref[0]
+    send_color = params_ref[1]
+    leave = params_ref[2].astype(f32) / 10.0
+
+    def color_mask(code):
+        return jnp.where(code == 1, black, jnp.where(code == 2, red, 0.0))
+
+    recvm = color_mask(recv_color)
+    sendm = color_mask(send_color)
+    omega = sendm / jnp.maximum(deg + leave, 1.0)
+
+    u = u_s[...]
+    hm1 = hm1_s[...]
+    hm2 = hm2_s[...]
+    vm1 = vm1_s[...]
+    vm2 = vm2_s[...]
+    hc = hc_s[0]
+    vc = vc_s[0]
+
+    e1 = _marg(hm1, hm2, hc)
+    e2 = _marg(hm2, hm1, hc)
+    v1 = _marg(vm1, vm2, vc)
+    v2 = _marg(vm2, vm1, vc)
+
+    mh1 = recvm * hedge
+    mh2 = _shift_cols(recvm, -1) * hedge
+    mv1 = recvm * vedge
+    mv2 = _shift_rows(recvm, -1) * vedge
+
+    uu = (u + e1 * mh1[None] + _shift_cols(e2 * mh2[None], 1)
+            + v1 * mv1[None] + _shift_rows(v2 * mv2[None], 1))
+    d = uu * omega[None]
+    resid = 1.0 - omega * deg
+
+    def center(x):
+        # c0 in {0..3} (0 at the top block, up to 3 at the bottom block);
+        # Mosaic has no dynamic_slice on values, so blend static windows
+        out = jnp.where(c0 == 0, x[:, 0:TH], jnp.zeros_like(x[:, 0:TH]))
+        out = jnp.where(c0 == 1, x[:, 1:TH + 1], out)
+        out = jnp.where(c0 == 2, x[:, 2:TH + 2], out)
+        return jnp.where(c0 == 3, x[:, 3:TH + 3], out)
+
+    u_out[...] = center(uu * resid[None] * cellf[None])
+    hm1_out[...] = center((hm1 - e1 * mh1[None] + d) * hedge[None])
+    hm2_out[...] = center((hm2 - e2 * mh2[None] + _shift_cols(d, -1)) * hedge[None])
+    vm1_out[...] = center((vm1 - v1 * mv1[None] + d) * vedge[None])
+    vm2_out[...] = center((vm2 - v2 * mv2[None] + _shift_rows(d, -1)) * vedge[None])
+
+
+@functools.partial(jax.jit, static_argnames=("geom", "interpret"))
+def phase_update(params, state, hc, vc, *, geom, interpret=False):
+    """One color-phase update.
+
+    params: int32 [3] = (recv_color, send_color, leave*10) with color codes
+    0=none, 1=black, 2=red; omega = send_mask / (deg + leave).
+    state: dict u/hm1/hm2/vm1/vm2 of [L, Hp, Wp] f32 in mask form.
+    geom: (L, Hp, Wp, H, W, P, TH).
+    """
+    L, Hp, Wp, H, W, P, TH = geom
+    assert Hp % TH == 0
+    f32 = jnp.float32
+    kernel = functools.partial(_phase_kernel, L=L, Hp=Hp, Wp=Wp, H=H, W=W,
+                               P=P, TH=TH)
+    out_sds = [jax.ShapeDtypeStruct((L, Hp, Wp), f32)] * 5
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Hp // TH,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 7,
+        out_specs=[pl.BlockSpec((L, TH, Wp), lambda i, p: (0, i, 0),
+                                memory_space=pltpu.VMEM)] * 5,
+        scratch_shapes=[pltpu.VMEM((L, TH + 3, Wp), f32)] * 5
+        + [pltpu.VMEM((1, TH + 3, Wp), f32)] * 2
+        + [pltpu.SemaphoreType.DMA((7,))],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_sds,
+        interpret=interpret,
+    )(params, state["u"], state["hm1"], state["hm2"], state["vm1"],
+      state["vm2"], hc[None], vc[None])
+    return {"u": outs[0], "hm1": outs[1], "hm2": outs[2],
+            "vm1": outs[3], "vm2": outs[4]}
