@@ -1,0 +1,93 @@
+"""Multicut factors, type-batched.
+
+Reference API (downstream ``solvers/multicut/multicut_factors_messages.hxx``,
+pinned by test/multicut.cpp):
+
+- ``multicut_edge_factor``: one cost theta_e; LowerBound = min(0, theta)
+  (cut the edge or not).
+- ``multicut_triplet_factor``: 4 costs for the non-trivial valid cut
+  patterns of a triangle's edges (e12, e13, e23):
+
+      index 0: (1, 1, 0)   index 1: (1, 0, 1)
+      index 2: (0, 1, 1)   index 3: (1, 1, 1)
+
+  (a triangle edge labeling is consistent iff not exactly one edge is cut);
+  the all-uncut pattern is the implicit zero.  LowerBound = min(0, min c).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import real_dtype
+from ..registry import FactorType
+
+# rows: cut patterns for (e12, e13, e23); column j = is edge j cut
+TRIPLET_PATTERNS = np.array([[1, 1, 0],
+                             [1, 0, 1],
+                             [0, 1, 1],
+                             [1, 1, 1]], dtype=np.int32)
+
+
+class MulticutEdgeType(FactorType):
+    name = "multicut_edge"
+
+    def build(self, instances):
+        c = np.asarray(list(instances), dtype=real_dtype())
+        return {"c": c}
+
+    def lower_bound(self, costs):
+        return jnp.minimum(costs["c"], 0.0)
+
+    def init_primal(self, costs):
+        return {"x": jnp.full(costs["c"].shape[0], -1, jnp.int32)}
+
+    def compute_primal(self, costs, primal):
+        x = primal["x"]
+        am = (costs["c"] < 0).astype(jnp.int32)
+        return {"x": jnp.where(x < 0, am, x)}
+
+    def evaluate_primal(self, costs, primal):
+        x = primal["x"]
+        val = costs["c"] * x.astype(costs["c"].dtype)
+        return jnp.where(x >= 0, val, jnp.inf)
+
+    def dual_vector(self, costs):
+        return costs["c"][:, None]
+
+
+class MulticutTripletType(FactorType):
+    name = "multicut_triplet"
+
+    def build(self, instances):
+        c = np.zeros((len(list(instances)), 4), dtype=real_dtype())
+        return {"c": c}
+
+    def lower_bound(self, costs):
+        return jnp.minimum(jnp.min(costs["c"], axis=1), 0.0)
+
+    def init_primal(self, costs):
+        F = costs["c"].shape[0]
+        # cut bits of the three edges, -1 unset
+        return {"e1": jnp.full(F, -1, jnp.int32),
+                "e2": jnp.full(F, -1, jnp.int32),
+                "e3": jnp.full(F, -1, jnp.int32)}
+
+    def evaluate_primal(self, costs, primal):
+        c = costs["c"]
+        e = jnp.stack([primal["e1"], primal["e2"], primal["e3"]], axis=1)
+        pats = jnp.asarray(TRIPLET_PATTERNS)
+        match = jnp.all(e[:, None, :] == pats[None], axis=2)  # [F, 4]
+        is_zero = jnp.all(e == 0, axis=1)
+        n_cut = jnp.sum(jnp.maximum(e, 0), axis=1)
+        valid = (jnp.all(e >= 0, axis=1)) & (n_cut != 1)
+        val = jnp.where(is_zero, 0.0,
+                        jnp.sum(jnp.where(match, c, jnp.zeros_like(c)), axis=1))
+        return jnp.where(valid, val, jnp.inf)
+
+    def dual_vector(self, costs):
+        return costs["c"]
+
+
+MULTICUT_EDGE = MulticutEdgeType()
+MULTICUT_TRIPLET = MulticutTripletType()

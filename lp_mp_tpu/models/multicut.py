@@ -1,0 +1,179 @@
+"""Multicut problem constructor.
+
+Reference surface: downstream ``solvers/multicut/multicut_constructor.hxx``
+(documented by test/multicut.cpp, test/shortest_path.cpp): edge factors,
+triangle (triplet) factors with three edge<->triplet messages, cycle
+separation for tightening, and primal rounding by edge contraction.
+
+Tightening = violated-cycle search on the current reparametrization: for
+every repulsive edge (cost < -eps), BFS a path of attractive edges with
+weight above a threshold between its endpoints (utils.graphs.bfs_path,
+the reference BfsData::FindPath); the cycle is fan-triangulated into
+triplet factors (zero-cost auxiliary edges added as needed).
+
+Primal rounding = greedy additive edge contraction (GAEC) on the original
+costs, evaluated exactly; the reference delegates to downstream KLj-style
+move makers — GAEC is the standard construction heuristic.
+"""
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+from ..factors.multicut import MULTICUT_EDGE, MULTICUT_TRIPLET
+from ..graph import FactorGraph, FactorRef
+from ..messages.multicut import (MULTICUT_EDGE_TRIPLET_0,
+                                 MULTICUT_EDGE_TRIPLET_1,
+                                 MULTICUT_EDGE_TRIPLET_2)
+from ..utils.graphs import Graph, bfs_path
+from ..utils.union_find import UnionFind
+
+_SLOT_MSG = (MULTICUT_EDGE_TRIPLET_0, MULTICUT_EDGE_TRIPLET_1,
+             MULTICUT_EDGE_TRIPLET_2)
+
+
+class MulticutConstructor:
+    def __init__(self, graph: FactorGraph):
+        self.graph = graph
+        self.edges: dict[tuple[int, int], FactorRef] = {}
+        self.edge_cost: dict[tuple[int, int], float] = {}
+        self.triplets: dict[tuple[int, int, int], FactorRef] = {}
+        self.n_nodes = 0
+        self._prev_edge: "FactorRef | None" = None
+
+    # ------------------------------------------------------------------
+    def add_edge(self, i: int, j: int, cost: float) -> FactorRef:
+        assert i != j
+        i, j = min(i, j), max(i, j)
+        assert (i, j) not in self.edges
+        e = self.graph.add_factor(MULTICUT_EDGE, float(cost))
+        self.edges[(i, j)] = e
+        self.edge_cost[(i, j)] = float(cost)
+        self.n_nodes = max(self.n_nodes, j + 1)
+        if self._prev_edge is not None:
+            # chain relation: edges sweep in insertion order
+            self.graph.add_factor_relation(self._prev_edge, e)
+        self._prev_edge = e
+        return e
+
+    def add_triplet(self, i: int, j: int, k: int) -> FactorRef:
+        assert i < j < k
+        key = (i, j, k)
+        if key in self.triplets:
+            return self.triplets[key]
+        t = self.graph.add_factor(MULTICUT_TRIPLET, None)
+        for slot, (a, b) in enumerate(((i, j), (i, k), (j, k))):
+            if (a, b) not in self.edges:
+                self.add_edge(a, b, 0.0)
+            e = self.edges[(a, b)]
+            self.graph.add_message(_SLOT_MSG[slot], e, t)
+            self.graph.add_factor_relation(e, t)
+        self.triplets[key] = t
+        return t
+
+    # ------------------------------------------------------------------
+    def _reparametrized_edge_costs(self, engine) -> dict[tuple[int, int], float]:
+        c = np.asarray(engine.state[MULTICUT_EDGE.name]["c"])
+        return {key: float(c[engine.f_local[ref.fid]])
+                for key, ref in self.edges.items()}
+
+    def tighten(self, engine, max_constraints: int, eps: float = 1e-8) -> int:
+        """Violated-cycle separation + fan triangulation."""
+        if max_constraints <= 0:
+            return 0
+        costs = self._reparametrized_edge_costs(engine)
+        pos = [(i, j, w) for (i, j), w in costs.items() if w > eps]
+        g = Graph(self.n_nodes, pos)
+        candidates = []
+        for (i, j), w in costs.items():
+            if w < -eps:
+                bottleneck, path = bfs_path(g, i, j, threshold=eps)
+                if path:
+                    gain = min(-w, bottleneck)
+                    candidates.append((gain, (i, j), path))
+        candidates.sort(key=lambda x: -x[0])
+        added = 0
+        for gain, (i, j), path in candidates:
+            if added >= max_constraints:
+                break
+            # fan triangulation from path[0]
+            a = path[0]
+            new = 0
+            for u, v in zip(path[1:], path[2:]):
+                tri = tuple(sorted((a, u, v)))
+                if tri not in self.triplets:
+                    self.add_triplet(*tri)
+                    new += 1
+            if new:
+                added += 1
+        return added
+
+    # ------------------------------------------------------------------
+    def round_gaec(self):
+        """Greedy additive edge contraction on the original costs.
+        Returns (node labels [n], cut mask per edge dict, cost)."""
+        uf = UnionFind(self.n_nodes)
+        # contract most attractive (negative-cost means prefers cut; merge
+        # edges with strongly NEGATIVE... multicut convention here: cost is
+        # PAID when the edge is cut, so merging avoids paying positive cuts:
+        # greedily contract the most positive edges.
+        acc: dict[tuple[int, int], float] = dict(self.edge_cost)
+        heap = [(-w, e) for e, w in acc.items() if w > 0]
+        heapq.heapify(heap)
+        alive = {e: w for e, w in acc.items()}
+        while heap:
+            negw, (i, j) = heapq.heappop(heap)
+            w = -negw
+            if alive.get((i, j)) != w or w <= 0:
+                continue
+            ri, rj = uf.find(i), uf.find(j)
+            if ri == rj:
+                continue
+            uf.merge(i, j)
+            # merge parallel edges
+            merged: dict[tuple[int, int], float] = {}
+            for (a, b), wv in list(alive.items()):
+                ra, rb = uf.find(a), uf.find(b)
+                if ra == rb:
+                    alive.pop((a, b), None)
+                    continue
+            # rebuild contracted weights lazily: accumulate by component pair
+            comp: dict[tuple[int, int], float] = {}
+            for (a, b), wv in alive.items():
+                ra, rb = uf.find(a), uf.find(b)
+                key = (min(ra, rb), max(ra, rb))
+                comp[key] = comp.get(key, 0.0) + wv
+            alive = {}
+            heap = []
+            for key, wv in comp.items():
+                alive[key] = wv
+                if wv > 0:
+                    heapq.heappush(heap, (-wv, key))
+        labels = uf.get_contiguous_ids()
+        cut = {e: int(labels[e[0]] != labels[e[1]]) for e in self.edges}
+        cost = sum(self.edge_cost[e] * cut[e] for e in self.edges)
+        return labels, cut, cost
+
+    def compute_primal(self, engine):
+        """Constructor-provided primal (ProblemConstructorRoundingSolver
+        hook, solver.hxx:402-481): GAEC labeling as a primal pytree."""
+        import jax.numpy as jnp
+        labels, cut, _ = self.round_gaec()
+        prim = engine.init_primal()
+        x = np.zeros(len(self.edges), dtype=np.int32)
+        for key, ref in self.edges.items():
+            x[engine.f_local[ref.fid]] = cut[key]
+        prim[MULTICUT_EDGE.name] = {"x": jnp.asarray(x)}
+        if MULTICUT_TRIPLET.name in prim:
+            T = prim[MULTICUT_TRIPLET.name]["e1"].shape[0]
+            es = {1: np.zeros(T, np.int32), 2: np.zeros(T, np.int32),
+                  3: np.zeros(T, np.int32)}
+            for (i, j, k), ref in self.triplets.items():
+                row = engine.f_local[ref.fid]
+                es[1][row] = cut[(i, j)]
+                es[2][row] = cut[(i, k)]
+                es[3][row] = cut[(j, k)]
+            prim[MULTICUT_TRIPLET.name] = {f"e{s}": jnp.asarray(es[s])
+                                           for s in (1, 2, 3)}
+        return prim

@@ -15,3 +15,7 @@ jax.config.update("jax_enable_x64", True)
 from lp_mp_tpu import config  # noqa: E402
 
 config.set_dtype("float64")
+
+# persistent compilation cache: repeat suite runs skip XLA compiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
