@@ -30,6 +30,19 @@ def two_min(x: jnp.ndarray, axis: int = -1):
     return (jnp.squeeze(m, axis), jnp.squeeze(s, axis), jnp.squeeze(am, axis))
 
 
+def min_except_index(x: jnp.ndarray, entry: jnp.ndarray) -> jnp.ndarray:
+    """out[m] = x[m, entry[m]] - min over k != entry[m] of x[m, k].
+
+    Scalar min-marginal of a single-entry binary indicator (the
+    graph-matching equality message's variable space)."""
+    rows = jnp.arange(x.shape[0])
+    val = x[rows, entry]
+    big = jnp.finfo(x.dtype).max
+    masked = jnp.where(jnp.arange(x.shape[1])[None, :] == entry[:, None], big, x)
+    other = jnp.min(masked, axis=1)
+    return val - other
+
+
 def min_except(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """out[..., i] = min over j != i of x[..., j] (vector.hxx:315-323),
     computed for every i via the two-min trick."""

@@ -88,6 +88,11 @@ class Solver:
                 self.register_primal(prim)
                 prim = self.engine.compute_pass_and_primal(c.repam, Direction.backward)
                 self.register_primal(prim)
+                # ProblemConstructorRoundingSolver hook (solver.hxx:402-481):
+                # constructors with their own ComputePrimal also get a shot
+                for ctor in self.constructors:
+                    if hasattr(ctor, "compute_primal"):
+                        self.register_primal(ctor.compute_primal(self.engine))
             else:
                 self.engine.compute_pass(c.repam)
             # PostIterate (solver.hxx:277-287)
