@@ -130,6 +130,15 @@ class Engine:
         self.phases = phases
         self.plans = {d: self._build_plans(phases[d]) for d in phases}
 
+        # factors outside the update schedule (no messages — FactorUpdated()
+        # skip, factors_messages.hxx:3125-3140) still need a primal in
+        # rounding passes: collect their rows per type
+        unupd: dict[str, list[int]] = {}
+        for fid in range(n):
+            if not self.updated[fid]:
+                unupd.setdefault(self.f_type[fid], []).append(int(self.f_local[fid]))
+        self._unupdated_rows = {k: np.asarray(v) for k, v in unupd.items()}
+
         self._weights_cache: dict = {}
         self._jit = use_jit
         self._pass_fns = {}
@@ -269,11 +278,20 @@ class Engine:
             return state, prim
 
         if primal:
+            unupdated = self._unupdated_rows
+
             def run(state, prim, w):
                 state = dict(state)
                 prim = dict(prim)
                 for plan in plans:
                     state, prim = run_phase(state, prim, w, plan)
+                # message-less factors: plain local argmin
+                for tname, rows in unupdated.items():
+                    ft = ftypes[tname]
+                    newp = ft.compute_primal(_gather(state[tname], rows),
+                                             _gather(prim[tname], rows))
+                    prim[tname] = {k: prim[tname][k].at[rows].set(newp[k])
+                                   for k in prim[tname]}
                 return state, prim
         else:
             def run(state, w):

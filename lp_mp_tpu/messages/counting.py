@@ -1,0 +1,104 @@
+"""Unary <-> counting-chain messages.
+
+Reference: ``DiscreteTomographyMessageCounting`` (downstream, surface
+documented by test/discrete_tomography.cpp) — messages between the MRF
+unaries on a projection ray and the counting subproblem; every marginal is
+a min-convolution DP.
+
+The message variable space is the unary's label vector; position ``pos``
+says which chain variable the unary pins.  The chain-side min-marginal at
+``pos`` combines a forward DP over earlier variables, a backward DP (with
+the projection cost folded in) over later ones, and the local slot:
+
+    marg[l] = lam[pos, l] + min_s fwd[pos][s] + bwd[pos+1][s + l]
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MessageSchedule
+from ..factors.counting import COUNTING_CHAIN, min_corr
+from ..factors.simplex import UNARY_SIMPLEX
+from ..ops.minconv import min_conv
+from ..registry import MessageType, mask_pad
+from .simplex_marginalization import fit_width
+
+INF = jnp.inf
+
+
+class UnaryCountingMessage(MessageType):
+    name = "unary_counting"
+    left_type = UNARY_SIMPLEX
+    right_type = COUNTING_CHAIN
+    schedule = MessageSchedule.left()
+
+    def build(self, instances):
+        return {"pos": np.asarray(instances, dtype=np.int32)}
+
+    # -- marginals -------------------------------------------------------------
+    def marginal_left(self, left_costs, data):
+        return mask_pad(left_costs["c"])
+
+    def marginal_right(self, right_costs, data):
+        lam, proj = right_costs["lam"], right_costs["proj"]
+        pos = data["pos"]
+        M, V, L = lam.shape
+        S = proj.shape[-1]
+        lam_t = jnp.moveaxis(lam, 1, 0)            # [V, M, L]
+
+        dp0 = jnp.full((M, S), INF, lam.dtype).at[:, 0].set(0.0)
+
+        def fstep(dp, vl):
+            v, lam_v = vl
+            nxt = min_conv(dp, lam_v, S)
+            return jnp.where((v < pos)[:, None], nxt, dp), None
+
+        fwd, _ = jax.lax.scan(fstep, dp0, (jnp.arange(V), lam_t))
+
+        def bstep(b, vl):
+            v, lam_v = vl
+            nxt = min_corr(b, lam_v, S)
+            return jnp.where((v > pos)[:, None], nxt, b), None
+
+        bwd, _ = jax.lax.scan(bstep, proj,
+                              (jnp.arange(V)[::-1], lam_t[::-1]))
+
+        lam_p = jnp.take_along_axis(lam, pos[:, None, None],
+                                    axis=1)[:, 0]   # [M, L]
+        # min over s of fwd[s] + bwd[s + l]  ==  min_corr over the sum axis
+        marg = lam_p + min_corr(bwd, fwd, L)
+        return mask_pad(marg)
+
+    # -- reparametrization -------------------------------------------------------
+    def repam_left(self, costs, idx, delta, data):
+        c = costs["c"]
+        return {**costs, "c": c.at[idx].add(fit_width(delta, c.shape[1]))}
+
+    def repam_right(self, costs, idx, delta, data):
+        lam = costs["lam"]
+        d = fit_width(delta, lam.shape[2])
+        return {**costs, "lam": lam.at[idx, data["pos"]].add(d)}
+
+    # -- primal -------------------------------------------------------------------
+    def propagate_primal_l2r(self, left_primal, right_primal, lidx, ridx, data):
+        l = left_primal["x"][lidx]
+        x = right_primal["x"]
+        cur = x[ridx, data["pos"]]
+        return {**right_primal,
+                "x": x.at[ridx, data["pos"]].set(jnp.where(l >= 0, l, cur))}
+
+    def propagate_primal_r2l(self, left_primal, right_primal, lidx, ridx, data):
+        r = right_primal["x"][ridx, data["pos"]]
+        cur = left_primal["x"][lidx]
+        return {**left_primal,
+                "x": left_primal["x"].at[lidx].set(jnp.where(r >= 0, r, cur))}
+
+    def consistent(self, left_primal, right_primal, lidx, ridx, data):
+        l = left_primal["x"][lidx]
+        r = right_primal["x"][ridx, data["pos"]]
+        return (l >= 0) & (l == r)
+
+
+UNARY_COUNTING = UnaryCountingMessage()
