@@ -113,6 +113,16 @@ class MulticutConstructor:
     def round_gaec(self):
         """Greedy additive edge contraction on the original costs.
         Returns (node labels [n], cut mask per edge dict, cost)."""
+        from .. import native
+        if native.get_lib() is not None and self.edges:
+            us = [e[0] for e in self.edge_cost]
+            vs = [e[1] for e in self.edge_cost]
+            ws = list(self.edge_cost.values())
+            labels = native.gaec(self.n_nodes, us, vs, ws)
+            if labels is not None:
+                cut = {e: int(labels[e[0]] != labels[e[1]]) for e in self.edges}
+                cost = sum(self.edge_cost[e] * cut[e] for e in self.edges)
+                return labels, cut, cost
         uf = UnionFind(self.n_nodes)
         # contract most attractive (negative-cost means prefers cut; merge
         # edges with strongly NEGATIVE... multicut convention here: cost is
@@ -154,6 +164,21 @@ class MulticutConstructor:
         cut = {e: int(labels[e[0]] != labels[e[1]]) for e in self.edges}
         cost = sum(self.edge_cost[e] * cut[e] for e in self.edges)
         return labels, cut, cost
+
+    def check_primal_consistency(self, engine, prim) -> bool:
+        """Multicut feasibility: a cut edge inside one connected component
+        of the uncut subgraph is inconsistent (the reference delegates this
+        to the multicut constructor; engine-level message checks cannot see
+        it for triplet-free models)."""
+        x = np.asarray(prim[MULTICUT_EDGE.name]["x"])
+        uf = UnionFind(self.n_nodes)
+        for key, ref in self.edges.items():
+            if x[engine.f_local[ref.fid]] == 0:
+                uf.merge(*key)
+        for key, ref in self.edges.items():
+            if x[engine.f_local[ref.fid]] == 1 and uf.find(key[0]) == uf.find(key[1]):
+                return False
+        return True
 
     def compute_primal(self, engine):
         """Constructor-provided primal (ProblemConstructorRoundingSolver

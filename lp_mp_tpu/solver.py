@@ -58,7 +58,13 @@ class Solver:
 
     # ------------------------------------------------------------------
     def register_primal(self, prim) -> float:
-        """Keep best feasible primal (solver.hxx:321-340)."""
+        """Keep best feasible primal (solver.hxx:321-340).  Constructors may
+        veto primals the engine-level message checks cannot see (e.g.
+        multicut cycle feasibility)."""
+        for c in self.constructors:
+            if hasattr(c, "check_primal_consistency") and \
+                    not c.check_primal_consistency(self.engine, prim):
+                return float("inf")
         cost = self.engine.evaluate_primal(prim)
         if cost < self.best_primal_cost:
             self.best_primal_cost = cost

@@ -85,6 +85,17 @@ def bfs_path(graph: Graph, source: int, target: int,
     (test/shortest_path.cpp:32-45: threshold 0.5 takes the direct edge with
     bottleneck 1.0; threshold 1.5 goes around with bottleneck 2.0).
     """
+    from .. import native
+    if native.get_lib() is not None and graph.edges:
+        us, vs, ws = zip(*graph.edges)
+        path = native.bfs_path(graph.n, us, vs, ws, source, target, threshold)
+        if path is not None:
+            if not path:
+                return None, []
+            wmap = {(min(i, j), max(i, j)): w for i, j, w in graph.edges}
+            bottleneck = min(wmap[(min(a, b), max(a, b))]
+                             for a, b in zip(path, path[1:]))
+            return bottleneck, path
     prev = {source: (None, np.inf)}
     q = deque([source])
     while q:

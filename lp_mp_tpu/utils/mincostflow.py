@@ -178,6 +178,35 @@ def solve_assignment(costs: np.ndarray, slack: "np.ndarray | None" = None):
     # nodes: 0..n0-1 left, n0..n0+n1-1 right, n0+n1 slack sink, n0+n1+1 sink
     S = n0 + n1
     T = n0 + n1 + 1
+
+    from .. import native
+    if native.get_lib() is not None:
+        tails, heads, ups, cs, keys = [], [], [], [], []
+        for i in range(n0):
+            for j in range(n1):
+                if np.isfinite(costs[i, j]):
+                    tails.append(i); heads.append(n0 + j)
+                    ups.append(1.0); cs.append(costs[i, j]); keys.append((i, j))
+            tails.append(i); heads.append(S)
+            ups.append(1.0); cs.append(float(slack[i])); keys.append((i, -1))
+        for j in range(n1):
+            tails.append(n0 + j); heads.append(T)
+            ups.append(1.0); cs.append(0.0); keys.append(None)
+        tails.append(S); heads.append(T)
+        ups.append(float(n0)); cs.append(0.0); keys.append(None)
+        excess = np.zeros(n0 + n1 + 2)
+        excess[:n0] = 1.0
+        excess[T] = -float(n0)
+        res = native.mcf_solve(n0 + n1 + 2, tails, heads,
+                               np.zeros(len(tails)), ups, cs, excess)
+        if res is not None:
+            _, flows = res
+            match = np.full(n0, -1, dtype=np.int64)
+            for k, f in zip(keys, flows):
+                if k is not None and k[1] >= 0 and f > 0.5:
+                    match[k[0]] = k[1]
+            return match
+
     mcf = MinCostFlow(n0 + n1 + 2)
     eids = {}
     for i in range(n0):
