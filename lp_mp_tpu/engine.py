@@ -54,21 +54,33 @@ class _MsgBlock:
 class _PhasePlan:
     recv_left: list[tuple[str, np.ndarray]]   # (msg type name, local msg ids)
     recv_right: list[tuple[str, np.ndarray]]
-    send_left: list[tuple[str, np.ndarray]]
-    send_right: list[tuple[str, np.ndarray]]
+    send_left: list[tuple[str, np.ndarray, np.ndarray]]   # (+ sending factor gid)
+    send_right: list[tuple[str, np.ndarray, np.ndarray]]
     factor_rows: dict[str, np.ndarray]        # factor type name -> local rows
     prop_l2r: list[tuple[str, np.ndarray]]
     prop_r2l: list[tuple[str, np.ndarray]]
+    # residual resend sub-rounds: rank -> [(name, local ids, from_left)]
+    # (send_messages_residual's per-factor sequential resend with cumulative
+    # weights, factors_messages.hxx:2959-3007; rank k of every factor runs in
+    # sub-round k, so each resend sees the factor's earlier resends)
+    resend: list[list[tuple[str, np.ndarray, bool]]] = dataclasses.field(
+        default_factory=list)
 
 
 class Engine:
     """Compiled model + jitted passes over it."""
 
     def __init__(self, graph: FactorGraph, schedule_mode: str = "wavefront",
-                 use_jit: bool = True):
+                 use_jit: bool = True, update_mode: str = "shared",
+                 inner_iteration: int = 5):
         assert schedule_mode in ("wavefront", "coloring", "sequential")
+        # --reparametrizationType (LP_MP.h:527-530,588-594)
+        assert update_mode in ("shared", "residual", "adaptive",
+                               "partition", "overlapping_partition")
         self.graph = graph
         self.schedule_mode = schedule_mode
+        self.update_mode = update_mode
+        self.inner_iteration = inner_iteration
         self.constant = graph.constant
         n = graph.n_factors
 
@@ -77,12 +89,15 @@ class Engine:
         by_type: dict[str, list] = {}
         self.f_local = np.zeros(n, dtype=np.int64)
         self.f_type = [""] * n
+        type_fids: dict[str, list[int]] = {}
         for fid, (ft, data) in enumerate(graph.factors):
             self.ftypes.setdefault(ft.name, ft)
             rows = by_type.setdefault(ft.name, [])
             self.f_local[fid] = len(rows)
             self.f_type[fid] = ft.name
+            type_fids.setdefault(ft.name, []).append(fid)
             rows.append(data)
+        self._type_fids = {k: np.asarray(v) for k, v in type_fids.items()}
         self.state = {name: {k: jnp.asarray(v) for k, v in
                              self.ftypes[name].build(rows).items()}
                       for name, rows in by_type.items()}
@@ -107,6 +122,30 @@ class Engine:
                 ridx=np.asarray(d["r"], dtype=np.int64),
                 gids=np.asarray(d["g"], dtype=np.int64),
                 data={k: jnp.asarray(v) for k, v in built.items()})
+
+        # ---- per-factor send ranks ------------------------------------------
+        # Traversal order = message-type insertion order then container order,
+        # mirroring the reference's MESSAGE_DISPATCHER_TYPELIST iteration in
+        # send_messages_residual (factors_messages.hxx:2959-3007).  rank[m] =
+        # position of m among its sending factor's outgoing messages.
+        send_counts = np.zeros(n, dtype=np.int64)
+        self._rank_left: dict[str, np.ndarray] = {}
+        self._rank_right: dict[str, np.ndarray] = {}
+        for name, blk in self.msgs.items():
+            s = self.mtypes[name].schedule
+            rl = np.full(len(blk.gids), -1, dtype=np.int64)
+            rr = np.full(len(blk.gids), -1, dtype=np.int64)
+            for i, g in enumerate(blk.gids):
+                _, l, r, _ = graph.messages[g]
+                if s.sends_to_right:
+                    rl[i] = send_counts[l]
+                    send_counts[l] += 1
+                if s.sends_to_left:
+                    rr[i] = send_counts[r]
+                    send_counts[r] += 1
+            self._rank_left[name] = rl
+            self._rank_right[name] = rr
+        self._max_send_rank = int(send_counts.max()) if n else 0
 
         # ---- schedule ------------------------------------------------------
         self.descs = graph.message_descs()
@@ -144,9 +183,13 @@ class Engine:
         self._pass_fns = {}
         self._primal_fns = {}
         maybe_jit = jax.jit if use_jit else (lambda f: f)
+        self._maybe_jit = maybe_jit
         for d in (Direction.forward, Direction.backward):
-            self._pass_fns[d] = maybe_jit(self._make_pass(self.plans[d], primal=False))
+            self._pass_fns[d] = maybe_jit(self._make_pass(
+                self.plans[d], primal=False, update_mode=update_mode))
             self._primal_fns[d] = maybe_jit(self._make_pass(self.plans[d], primal=True))
+        self._partition = None          # construct_factor_partition cache
+        self._overlapping = None
         self._lb_fn = maybe_jit(self._lower_bound_impl)
         self._eval_fn = maybe_jit(self._evaluate_impl)
 
@@ -172,32 +215,54 @@ class Engine:
             frows: dict[str, list[int]] = {}
             for f in pset:
                 frows.setdefault(self.f_type[f], []).append(int(self.f_local[f]))
+            resend_by_rank: dict[int, list[tuple[str, np.ndarray, bool]]] = {}
             for name, blk in self.msgs.items():
                 s = blk.mtype.schedule
                 left_ids = [i for f in pset for i in by_left[name].get(f, ())]
                 right_ids = [i for f in pset for i in by_right[name].get(f, ())]
                 if left_ids:
+                    ids = np.asarray(left_ids)
                     if s.left_receives:
-                        rl.append((name, np.asarray(left_ids)))
+                        rl.append((name, ids))
                     if s.sends_to_right:
-                        sl.append((name, np.asarray(left_ids)))
-                    pl2r.append((name, np.asarray(left_ids)))
+                        fg = np.asarray([self.graph.messages[blk.gids[i]][1]
+                                         for i in left_ids])
+                        sl.append((name, ids, fg))
+                        for rank in np.unique(self._rank_left[name][ids]):
+                            sub = ids[self._rank_left[name][ids] == rank]
+                            resend_by_rank.setdefault(int(rank), []).append(
+                                (name, sub, True))
+                    pl2r.append((name, ids))
                 if right_ids:
+                    ids = np.asarray(right_ids)
                     if s.right_receives:
-                        rr.append((name, np.asarray(right_ids)))
+                        rr.append((name, ids))
                     if s.sends_to_left:
-                        sr.append((name, np.asarray(right_ids)))
-                    pr2l.append((name, np.asarray(right_ids)))
+                        fg = np.asarray([self.graph.messages[blk.gids[i]][2]
+                                         for i in right_ids])
+                        sr.append((name, ids, fg))
+                        for rank in np.unique(self._rank_right[name][ids]):
+                            sub = ids[self._rank_right[name][ids] == rank]
+                            resend_by_rank.setdefault(int(rank), []).append(
+                                (name, sub, False))
+                    pr2l.append((name, ids))
             plans.append(_PhasePlan(
                 recv_left=rl, recv_right=rr, send_left=sl, send_right=sr,
                 factor_rows={k: np.asarray(v) for k, v in frows.items()},
-                prop_l2r=pl2r, prop_r2l=pr2l))
+                prop_l2r=pl2r, prop_r2l=pr2l,
+                resend=[resend_by_rank[k] for k in sorted(resend_by_rank)]))
         return plans
 
     # ------------------------------------------------------------------
-    def _make_pass(self, plans: list[_PhasePlan], primal: bool):
+    def _make_pass(self, plans: list[_PhasePlan], primal: bool,
+                   update_mode: str = "shared"):
         msgs = self.msgs
         ftypes = self.ftypes
+        n_factors = self.graph.n_factors
+        # partition/overlapping route through plain shared updates inside each
+        # block pass (LP_MP.h:981-990)
+        if update_mode in ("partition", "overlapping_partition") or primal:
+            update_mode = "shared"
 
         def apply_delta(state, name, ids, delta, from_left: bool):
             """Zero-sum shift: sender -= delta, other side += delta."""
@@ -212,6 +277,77 @@ class Engine:
             else:
                 state[rn] = mt.repam_right(state[rn], ridx, -delta, data)
                 state[ln] = mt.repam_left(state[ln], lidx, delta, data)
+            return state
+
+        def run_resends(state, w, plan: _PhasePlan):
+            """Residual resend (send_messages_residual, factors_messages.hxx:
+            2959-3007): after the shared send, each factor re-sends its
+            outgoing messages in traversal order with the *cumulative* omega,
+            each resend seeing the previous ones.  Rank-k messages of all
+            factors run together (they touch disjoint factors within a
+            phase); zero-omega messages have zero cumulative delta."""
+            for group in plan.resend:
+                ops = []
+                for name, ids, from_left in group:
+                    blk = msgs[name]
+                    mt = blk.mtype
+                    if from_left:
+                        sl = _gather(state[mt.left_type.name], blk.lidx[ids])
+                        delta = mt.marginal_left(sl, _gather(blk.data, ids))
+                        wv = w[name]["res_left"][ids]
+                    else:
+                        sl = _gather(state[mt.right_type.name], blk.ridx[ids])
+                        delta = mt.marginal_right(sl, _gather(blk.data, ids))
+                        wv = w[name]["res_right"][ids]
+                    ops.append((name, ids, _bmul(delta, wv), from_left))
+                for name, ids, delta, from_left in ops:
+                    state = apply_delta(state, name, ids, delta, from_left)
+            return state
+
+        def run_sends_adaptive(state, w, plan: _PhasePlan):
+            """Adaptive send (send_messages_with_adaptive_weights,
+            factors_messages.hxx:2859-2926): measure the dual improvement of
+            each outgoing message at weight 1, then reweight per factor
+            omega' = 0.5*omega + 0.5*omega_sum*impr/sum(impr) and send."""
+            entries = []
+            for (name, ids, fg), from_left in \
+                    [(e, True) for e in plan.send_left] + \
+                    [(e, False) for e in plan.send_right]:
+                blk = msgs[name]
+                mt = blk.mtype
+                data = _gather(blk.data, ids)
+                lsl = _gather(state[mt.left_type.name], blk.lidx[ids])
+                rsl = _gather(state[mt.right_type.name], blk.ridx[ids])
+                delta = (mt.marginal_left(lsl, data) if from_left
+                         else mt.marginal_right(rsl, data))
+                ar = jnp.arange(len(ids))
+                lb0 = ftypes[mt.left_type.name].lower_bound(lsl) \
+                    + ftypes[mt.right_type.name].lower_bound(rsl)
+                sgn = 1.0 if from_left else -1.0
+                l1 = mt.repam_left(lsl, ar, -sgn * delta, data)
+                r1 = mt.repam_right(rsl, ar, sgn * delta, data)
+                lb1 = ftypes[mt.left_type.name].lower_bound(l1) \
+                    + ftypes[mt.right_type.name].lower_bound(r1)
+                omega = w[name]["omega_" + ("left" if from_left else "right")][ids]
+                impr = jnp.where(omega > 0, jnp.maximum(lb1 - lb0, 0.0), 0.0)
+                entries.append((name, ids, fg, delta, omega, impr, from_left))
+            if not entries:
+                return state
+            all_f = jnp.concatenate([jnp.asarray(e[2]) for e in entries])
+            all_w = jnp.concatenate([e[4] for e in entries])
+            all_i = jnp.concatenate([e[5] for e in entries])
+            w_sum = jax.ops.segment_sum(all_w, all_f, num_segments=n_factors)
+            i_sum = jax.ops.segment_sum(all_i, all_f, num_segments=n_factors)
+            ops = []
+            for name, ids, fg, delta, omega, impr, from_left in entries:
+                denom = i_sum[fg]
+                neww = jnp.where(denom > 0,
+                                 0.5 * omega + 0.5 * w_sum[fg] * impr
+                                 / jnp.where(denom > 0, denom, 1.0),
+                                 omega)
+                ops.append((name, ids, _bmul(delta, neww), from_left))
+            for name, ids, delta, from_left in ops:
+                state = apply_delta(state, name, ids, delta, from_left)
             return state
 
         def run_phase(state, prim, w, plan: _PhasePlan):
@@ -243,21 +379,26 @@ class Engine:
                                    for k in prim[tname]}
 
             # --- sends: all deltas from one post-receive snapshot ----------
-            ops = []
-            for name, ids in plan.send_left:
-                blk = msgs[name]
-                mt = blk.mtype
-                sl = _gather(state[mt.left_type.name], blk.lidx[ids])
-                delta = mt.marginal_left(sl, _gather(blk.data, ids))
-                ops.append((name, ids, _bmul(delta, w[name]["omega_left"][ids]), True))
-            for name, ids in plan.send_right:
-                blk = msgs[name]
-                mt = blk.mtype
-                sl = _gather(state[mt.right_type.name], blk.ridx[ids])
-                delta = mt.marginal_right(sl, _gather(blk.data, ids))
-                ops.append((name, ids, _bmul(delta, w[name]["omega_right"][ids]), False))
-            for name, ids, delta, from_left in ops:
-                state = apply_delta(state, name, ids, delta, from_left)
+            if update_mode == "adaptive":
+                state = run_sends_adaptive(state, w, plan)
+            else:
+                ops = []
+                for name, ids, _ in plan.send_left:
+                    blk = msgs[name]
+                    mt = blk.mtype
+                    sl = _gather(state[mt.left_type.name], blk.lidx[ids])
+                    delta = mt.marginal_left(sl, _gather(blk.data, ids))
+                    ops.append((name, ids, _bmul(delta, w[name]["omega_left"][ids]), True))
+                for name, ids, _ in plan.send_right:
+                    blk = msgs[name]
+                    mt = blk.mtype
+                    sl = _gather(state[mt.right_type.name], blk.ridx[ids])
+                    delta = mt.marginal_right(sl, _gather(blk.data, ids))
+                    ops.append((name, ids, _bmul(delta, w[name]["omega_right"][ids]), False))
+                for name, ids, delta, from_left in ops:
+                    state = apply_delta(state, name, ids, delta, from_left)
+                if update_mode == "residual":
+                    state = run_resends(state, w, plan)
 
             # --- primal propagation through messages -----------------------
             if primal:
@@ -304,6 +445,37 @@ class Engine:
     # ------------------------------------------------------------------
     # weights
     # ------------------------------------------------------------------
+    def _weights_to_dict(self, w: sched.Weights) -> dict:
+        """Convert host Weights to the per-message-type device dict, adding
+        residual cumulative weights (the running omega sum per sending factor
+        in dispatcher traversal order, factors_messages.hxx:2964-3006)."""
+        dtype = real_dtype()
+        acc = np.zeros(self.graph.n_factors)
+        res_left = np.zeros_like(w.omega_left)
+        res_right = np.zeros_like(w.omega_right)
+        for name, blk in self.msgs.items():
+            s = blk.mtype.schedule
+            for i, g in enumerate(blk.gids):
+                _, l, r, _ = self.graph.messages[g]
+                if s.sends_to_right and w.omega_left[g] > 0:
+                    acc[l] += w.omega_left[g]
+                    res_left[g] = acc[l]
+                if s.sends_to_left and w.omega_right[g] > 0:
+                    acc[r] += w.omega_right[g]
+                    res_right[g] = acc[r]
+        out = {}
+        for name, blk in self.msgs.items():
+            g = blk.gids
+            out[name] = {
+                "omega_left": jnp.asarray(w.omega_left[g], dtype=dtype),
+                "omega_right": jnp.asarray(w.omega_right[g], dtype=dtype),
+                "recv_left": jnp.asarray(w.recv_left[g], dtype=dtype),
+                "recv_right": jnp.asarray(w.recv_right[g], dtype=dtype),
+                "res_left": jnp.asarray(res_left[g], dtype=dtype),
+                "res_right": jnp.asarray(res_right[g], dtype=dtype),
+            }
+        return out
+
     def weights(self, mode: ReparametrizationMode, direction: Direction) -> dict:
         mode = ReparametrizationMode.convert(mode)
         key = (mode, direction)
@@ -312,17 +484,7 @@ class Engine:
                                       self.graph.n_factors, self.descs,
                                       self.updated)
             assert sched.omega_valid(w, self.graph.n_factors, self.descs)
-            dtype = real_dtype()
-            out = {}
-            for name, blk in self.msgs.items():
-                g = blk.gids
-                out[name] = {
-                    "omega_left": jnp.asarray(w.omega_left[g], dtype=dtype),
-                    "omega_right": jnp.asarray(w.omega_right[g], dtype=dtype),
-                    "recv_left": jnp.asarray(w.recv_left[g], dtype=dtype),
-                    "recv_right": jnp.asarray(w.recv_right[g], dtype=dtype),
-                }
-            self._weights_cache[key] = out
+            self._weights_cache[key] = self._weights_to_dict(w)
         return self._weights_cache[key]
 
     # ------------------------------------------------------------------
@@ -337,9 +499,145 @@ class Engine:
             self.state, self.weights(mode, Direction.backward))
 
     def compute_pass(self, mode) -> None:
-        """One iteration = forward + backward sweep (LP_MP.h:869-887)."""
-        self.compute_forward_pass(mode)
-        self.compute_backward_pass(mode)
+        """One iteration, routed by --reparametrizationType (LP_MP.h:869-887):
+        partition -> staged block passes only; overlapping_partition ->
+        overlapping pass then a normal sweep; else forward + backward."""
+        if self.update_mode == "partition":
+            self.compute_partition_pass(self.inner_iteration)
+        elif self.update_mode == "overlapping_partition":
+            self.compute_overlapping_partition_pass(self.inner_iteration)
+            self.compute_forward_pass(mode)
+            self.compute_backward_pass(mode)
+        else:
+            self.compute_forward_pass(mode)
+            self.compute_backward_pass(mode)
+
+    # ------------------------------------------------------------------
+    # partition passes (LP_MP.h:1716-2051)
+    # ------------------------------------------------------------------
+    def _subset_pass(self, order: np.ndarray):
+        """Compile one anisotropic-weighted pass over the factor subset
+        ``order`` (in that order): weights from ComputeAnisotropicWeights on
+        the subset with out-of-set relay rules (LP_MP.h:1263-1304), phases
+        from levelize."""
+        n = self.graph.n_factors
+        upd = np.zeros(n, dtype=bool)
+        upd[np.asarray(order)] = True
+        upd &= self.updated
+        w = sched.compute_anisotropic_weights(order, n, self.descs, upd)
+        phases = sched.levelize(order, n, self.descs, upd)
+        fn = self._maybe_jit(self._make_pass(self._build_plans(phases),
+                                             primal=False))
+        return fn, self._weights_to_dict(w)
+
+    def construct_factor_partition(self) -> None:
+        """Union-find blocks from put_in_same_partition pairs, ordered and
+        internally sorted by the forward order (LP_MP.h:1716-1842), plus
+        per-block and block->block push passes."""
+        if self._partition is not None:
+            return
+        n = self.graph.n_factors
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in self.graph.partition_pairs:
+            parent[find(a)] = find(b)
+        fwd = list(self.orders[Direction.forward])
+        pos = np.empty(n, dtype=np.int64)
+        pos[np.asarray(fwd)] = np.arange(n)
+        groups: dict[int, list[int]] = {}
+        for f in range(n):
+            if self.updated[f]:
+                groups.setdefault(find(f), []).append(f)
+        blocks = sorted((sorted(g, key=lambda f: pos[f]) for g in groups.values()),
+                        key=lambda g: pos[g[0]])
+        self._partition = [np.asarray(b) for b in blocks]
+
+        def concat(*parts):
+            return np.asarray([f for p in parts for f in p])
+
+        self._block_fwd, self._block_bwd = [], []
+        for b in blocks:
+            self._block_fwd.append(self._subset_pass(np.asarray(b)))
+            self._block_bwd.append(self._subset_pass(np.asarray(b)[::-1]))
+        # push passes over concat(block_i, reversed block_{i+1}) / mirror
+        # (LP_MP.h:1824-1842)
+        self._push_fwd, self._push_bwd = [], []
+        for i in range(len(blocks) - 1):
+            self._push_fwd.append(
+                self._subset_pass(concat(blocks[i], blocks[i + 1][::-1])))
+        for ri in range(len(blocks) - 1):
+            i = len(blocks) - ri - 1
+            self._push_bwd.append(
+                self._subset_pass(concat(blocks[i], blocks[i - 1][::-1])))
+
+    def construct_overlapping_factor_partition(self) -> None:
+        """Per consecutive block pair, forward/backward passes over the
+        concatenated overlap (LP_MP.h:1845-1863)."""
+        self.construct_factor_partition()
+        if self._overlapping is not None:
+            return
+        blocks = self._partition
+        ov_f, ov_b = [], []
+        for i in range(len(blocks) - 1):
+            a, b = list(blocks[i]), list(blocks[i + 1])
+            ov_f.append(self._subset_pass(np.asarray(a + b[::-1])))
+            ov_b.append(self._subset_pass(np.asarray(b + a[::-1])))
+        self._overlapping = (ov_f, ov_b)
+
+    def compute_partition_pass(self, no_passes: int) -> None:
+        """Staged block optimization (compute_partition_pass,
+        LP_MP.h:1931-1963): per block, no_passes forward+backward rounds,
+        then push all messages into the next block; then mirror backward."""
+        self.construct_factor_partition()
+        nb = len(self._partition)
+        for i in range(nb):
+            for _ in range(no_passes):
+                fn, w = self._block_fwd[i]
+                self.state = fn(self.state, w)
+                fn, w = self._block_bwd[i]
+                self.state = fn(self.state, w)
+            if i < nb - 1:
+                fn, w = self._push_fwd[i]
+                self.state = fn(self.state, w)
+        for ri in range(nb):
+            i = nb - ri - 1
+            for _ in range(no_passes):
+                fn, w = self._block_fwd[i]
+                self.state = fn(self.state, w)
+                fn, w = self._block_bwd[i]
+                self.state = fn(self.state, w)
+            if i != 0:
+                fn, w = self._push_bwd[ri]
+                self.state = fn(self.state, w)
+
+    def compute_overlapping_partition_pass(self, no_passes: int) -> None:
+        """Overlapping variant (compute_overlapping_partition_pass,
+        LP_MP.h:1965-2051)."""
+        self.construct_overlapping_factor_partition()
+        ov_f, ov_b = self._overlapping
+        for i in range(len(ov_f)):
+            for _ in range(no_passes):
+                fn, w = ov_f[i]
+                self.state = fn(self.state, w)
+                fn, w = ov_b[i]
+                self.state = fn(self.state, w)
+            fn, w = ov_f[i]
+            self.state = fn(self.state, w)
+        for ri in range(len(ov_f)):
+            i = len(ov_f) - ri - 1
+            for _ in range(no_passes):
+                fn, w = ov_b[i]
+                self.state = fn(self.state, w)
+                fn, w = ov_f[i]
+                self.state = fn(self.state, w)
+            fn, w = ov_b[i]
+            self.state = fn(self.state, w)
 
     def init_primal(self) -> dict:
         return {name: self.ftypes[name].init_primal(block)
@@ -386,6 +684,56 @@ class Engine:
                               blk.lidx, blk.ridx, blk.data)
             ok = ok and bool(jnp.all(c))
         return ok
+
+    # ------------------------------------------------------------------
+    # inconsistent-region extraction (LP_MP.h:1638-1684)
+    # ------------------------------------------------------------------
+    def per_factor_lower_bound(self) -> np.ndarray:
+        """[n_factors] local lower bounds, global factor order."""
+        out = np.zeros(self.graph.n_factors)
+        for name, block in self.state.items():
+            out[self._type_fids[name]] = np.asarray(
+                self.ftypes[name].lower_bound(block), dtype=np.float64)
+        return out
+
+    def per_factor_primal_cost(self, prim: dict) -> np.ndarray:
+        """[n_factors] EvaluatePrimal per factor."""
+        out = np.zeros(self.graph.n_factors)
+        for name, block in self.state.items():
+            out[self._type_fids[name]] = np.asarray(
+                self.ftypes[name].evaluate_primal(block, prim[name]),
+                dtype=np.float64)
+        return out
+
+    def get_inconsistent_mask(self, prim: dict,
+                              no_fatten_rounds: int = 1) -> np.ndarray:
+        """[n_factors] bool: factors whose local bound is below their primal
+        cost or that sit on a violated message, fattened ``no_fatten_rounds``
+        times over message adjacency (get_inconsistent_mask,
+        LP_MP.h:1638-1684)."""
+        from .config import eps_for
+        eps = eps_for()
+        mask = self.per_factor_lower_bound() < self.per_factor_primal_cost(prim) - eps
+        lf, rf = [], []
+        for name, blk in self.msgs.items():
+            mt = blk.mtype
+            ok = np.asarray(mt.consistent(prim[mt.left_type.name],
+                                          prim[mt.right_type.name],
+                                          blk.lidx, blk.ridx, blk.data))
+            l = np.asarray([self.graph.messages[g][1] for g in blk.gids])
+            r = np.asarray([self.graph.messages[g][2] for g in blk.gids])
+            mask[l[~ok]] = True
+            mask[r[~ok]] = True
+            lf.append(l)
+            rf.append(r)
+        if lf:
+            lf = np.concatenate(lf)
+            rf = np.concatenate(rf)
+            for _ in range(no_fatten_rounds):
+                hit = mask[lf] | mask[rf]
+                mask[lf[hit]] = True
+                mask[rf[hit]] = True
+        return mask
 
     # snapshots (serialization.hxx analogue: duals are already a pytree)
     def get_state(self):

@@ -32,6 +32,7 @@ class FactorGraph:
         self.messages: list[tuple[MessageType, int, int, Any]] = []
         self.forward_relations: list[tuple[int, int]] = []
         self.backward_relations: list[tuple[int, int]] = []
+        self.partition_pairs: list[tuple[int, int]] = []
         self.constant: float = 0.0
 
     # -- construction (LP_MP.h:238-285) ------------------------------------
@@ -61,6 +62,11 @@ class FactorGraph:
     def backward_relation(self, f1: FactorRef, f2: FactorRef) -> None:
         assert f1.fid != f2.fid
         self.backward_relations.append((f1.fid, f2.fid))
+
+    def put_in_same_partition(self, f1: FactorRef, f2: FactorRef) -> None:
+        """Group factors into one block for staged partition passes
+        (LP_MP.h:465-475 ``partition_graph``)."""
+        self.partition_pairs.append((f1.fid, f2.fid))
 
     def add_to_constant(self, x: float) -> None:
         self.constant += x

@@ -147,17 +147,28 @@ def _side_flags(m: MessageDesc, is_left: bool):
 def compute_anisotropic_weights(order: Sequence[int], n: int,
                                 messages: Sequence[MessageDesc],
                                 updated: np.ndarray) -> Weights:
-    """SRMP anisotropic weights, full-graph case (LP_MP.h:1230-1415)."""
-    M = len(messages)
-    pos = np.empty(n, dtype=np.int64)
-    pos[np.asarray(order)] = np.arange(n)
-    views = _per_factor_views(n, messages)
+    """SRMP anisotropic weights (LP_MP.h:1230-1415).
 
-    # pass 1: receiving-factor statistics per factor (LP_MP.h:1242-1261)
+    ``order`` may be a *subset* of the factors (partition / push passes,
+    LP_MP.h:1931-2051): statistics then only count subset-internal
+    adjacency, and out-of-set neighbors connected to >=2 subset factors act
+    as relays via min-adjacent-sending / max-adjacent-receiving positions
+    (LP_MP.h:1263-1304, including the map's default-0 semantics for
+    out-of-set factors touching just one subset factor)."""
+    M = len(messages)
+    order = [int(f) for f in order]
+    ns = len(order)
+    pos = np.full(n, -1, dtype=np.int64)  # -1 = not in the iteration set
+    pos[np.asarray(order)] = np.arange(ns)
+    views = _per_factor_views(n, messages)
+    MAXI = np.iinfo(np.int64).max
+
+    # pass 1: receiving-factor statistics over subset-internal adjacency
+    # (LP_MP.h:1242-1261)
     no_receiving_later = np.zeros(n, dtype=np.int64)
     last_receiving = np.zeros(n, dtype=np.int64)
-    first_receiving = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
-    for f in range(n):
+    first_receiving = np.full(n, MAXI, dtype=np.int64)
+    for f in order:
         for mi, is_left in views[f]:
             m = messages[mi]
             _, _, _, adj_receives = _side_flags(m, is_left)
@@ -167,13 +178,44 @@ def compute_anisotropic_weights(order: Sequence[int], n: int,
                 last_receiving[f] = max(last_receiving[f], pos[a])
                 first_receiving[f] = min(first_receiving[f], pos[a])
 
+    # out-of-set relay positions (LP_MP.h:1263-1304)
+    min_adj_send: dict[int, int] = {}
+    max_adj_recv: dict[int, int] = {}
+    if ns < n:
+        adj_count: dict[int, int] = {}
+        for f in order:
+            for mi, is_left in views[f]:
+                m = messages[mi]
+                a = m.right if is_left else m.left
+                if pos[a] < 0:
+                    adj_count[a] = adj_count.get(a, 0) + 1
+        for a, cnt in adj_count.items():
+            if cnt < 2:
+                continue
+            mn, mx = MAXI, 0
+            for mi, is_left_of_a in views[a]:
+                m = messages[mi]
+                other = m.right if is_left_of_a else m.left
+                if pos[other] < 0:
+                    continue
+                # flags from a's viewpoint: does `other` send to / receive
+                # from a?
+                _, _, other_sends, other_receives = _side_flags(m, is_left_of_a)
+                if other_sends:
+                    mn = min(mn, int(pos[other]))
+                if other_receives:
+                    mx = max(mx, int(pos[other]))
+            min_adj_send[a] = mn
+            max_adj_recv[a] = mx
+
     omega_left = np.zeros(M)
     omega_right = np.zeros(M)
     recv_left = np.zeros(M, dtype=bool)
     recv_right = np.zeros(M, dtype=bool)
 
-    # pass 2: per updated factor, flags + SRMP weight (LP_MP.h:1306-1408)
-    for f in range(n):
+    # pass 2: per updated in-set factor, flags + SRMP weight
+    # (LP_MP.h:1306-1408)
+    for f in order:
         if not updated[f]:
             continue
         fi = pos[f]
@@ -185,10 +227,16 @@ def compute_anisotropic_weights(order: Sequence[int], n: int,
             a = m.right if is_left else m.left
             if sends:
                 total_send += 1
-                flag = (fi < pos[a] and updated[a]) or (last_receiving[a] > fi)
+                if pos[a] >= 0:
+                    flag = (fi < pos[a] and updated[a]) or (last_receiving[a] > fi)
+                else:
+                    flag = fi < max_adj_recv.get(a, 0)
                 send_flags.append((mi, is_left, flag))
             if receives:
-                flag = (pos[a] < fi) or (first_receiving[a] < fi)
+                if pos[a] >= 0:
+                    flag = (pos[a] < fi) or (first_receiving[a] < fi)
+                else:
+                    flag = min_adj_send.get(a, 0) < fi
                 if is_left:
                     recv_left[mi] = flag
                 else:

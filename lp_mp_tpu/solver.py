@@ -24,11 +24,16 @@ from .visitors import StandardVisitor
 
 class Solver:
     def __init__(self, visitor: "StandardVisitor | None" = None,
-                 schedule_mode: str = "wavefront", use_jit: bool = True):
+                 schedule_mode: str = "wavefront", use_jit: bool = True,
+                 reparametrization_type: str = "shared",
+                 inner_iteration: int = 5):
         self.graph = FactorGraph()
         self.visitor = visitor if visitor is not None else StandardVisitor()
         self.schedule_mode = schedule_mode
         self.use_jit = use_jit
+        # --reparametrizationType / --innerIteration (LP_MP.h:588-594)
+        self.reparametrization_type = reparametrization_type
+        self.inner_iteration = inner_iteration
         self.constructors: list[Any] = []
         self.engine: "Engine | None" = None
         self.lower_bound_: float = float("-inf")
@@ -45,7 +50,9 @@ class Solver:
     def build_engine(self) -> Engine:
         old = self.engine
         self.engine = Engine(self.graph, schedule_mode=self.schedule_mode,
-                             use_jit=self.use_jit)
+                             use_jit=self.use_jit,
+                             update_mode=self.reparametrization_type,
+                             inner_iteration=self.inner_iteration)
         if old is not None:
             # carry reparametrized duals over: old rows are a prefix of the
             # new blocks and old padded lanes stay padded
