@@ -1,0 +1,353 @@
+"""Multi-chip sharded grid-Potts engine (mask form).
+
+The flagship grid Potts model (models/grid_potts.py) laid out in padded
+"mask form" and executed under ``jax.shard_map`` over a 1-D device mesh:
+rows are sharded, and each SRMP color phase exchanges a one-row halo with
+both neighbors via ``lax.ppermute`` (ICI collective) before a dense local
+update.
+
+Mask form (layout shared with ops/pallas_grid.py): five state arrays
+``[L, R, C]`` with real cells at rows ``[P, P+H)``, cols ``[1, 1+W)``;
+h-edge (r,c)-(r,c+1) stored at (r,c) for c in [1,W); v-edge (r,c)-(r+1,c)
+at (r,c) for r in [P, P+H-1); everything outside is inert zeros.  Masks are
+recomputed from row/col iota inside the kernel body, so only the data
+arrays move through HBM/ICI.
+
+Update semantics are exactly GridPottsModel's red/black SRMP phases
+(receive full min-marginals by mask, then send omega-weighted shares — the
+reference UpdateFactor, factors_messages.hxx:2256-2261, under the
+blacks-before-reds total order).  Because the halo exchange delivers the
+*same* neighbor rows the single-chip schedule reads, the sharded sweep
+performs identical coordinate updates: bounds match the dense model
+bit-for-bit, not merely monotonically (pinned by tests/test_parallel.py at
+1/2/4/8 shards).
+
+Distributed design note: the reference has no distributed backend
+(SURVEY §2.7); its closest structure is the partitioned pass with push
+weights between blocks (LP_MP.h:1931-2051).  Here the partition is the row
+sharding and the "push" across the cut is the halo exchange of boundary
+rows.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from ..config import ReparametrizationMode, real_dtype
+from ..models.grid_potts import _potts_min_pair
+from ..ops.reductions import min_except
+
+AXIS = "rows"
+
+
+# ---------------------------------------------------------------------------
+# mask-form geometry and dense phase math (layout of ops/pallas_grid.py)
+# ---------------------------------------------------------------------------
+
+def _shift_rows(x, k):
+    """out[..., r, :] = x[..., r-k, :] with wrap; wrapped rows are always
+    either discarded halo rows or masked inert rows."""
+    return jnp.roll(x, k, axis=-2)
+
+
+def _shift_cols(x, k):
+    return jnp.roll(x, k, axis=-1)
+
+
+def _marg(own, other, diff):
+    """Potts min-marginal toward ``own``'s side; labels axis 0
+    (factors/potts.py.marginal, two-min trick vector.hxx:348-449)."""
+    if own.shape[0] == 1:
+        return own + other
+    return own + jnp.minimum(other, min_except(other, axis=0) + diff[None])
+
+
+def _masks(rows, cols, H, W, P, dtype):
+    """Static geometry masks from global row/col index grids [Rl, C]."""
+    f = lambda b: b.astype(dtype)
+    cellf = f(rows >= P) * f(rows < P + H) * f(cols >= 1) * f(cols < 1 + W)
+    hedge = cellf * f(cols < W)
+    vedge = cellf * f(rows < P + H - 1)
+    parity = ((rows - P + cols - 1) % 2).astype(dtype)
+    black = cellf * (1.0 - parity)
+    red = cellf - black
+    deg = hedge + _shift_cols(hedge, 1) + vedge + _shift_rows(vedge, 1)
+    return {"cellf": cellf, "hedge": hedge, "vedge": vedge,
+            "black": black, "red": red, "deg": deg}
+
+
+def _color(m, code):
+    if code == 1:
+        return m["black"]
+    if code == 2:
+        return m["red"]
+    return jnp.zeros_like(m["black"])
+
+
+def _phase_arrays(u, hm1, hm2, vm1, vm2, hc, vc, m, recv_code, send_code,
+                  leave):
+    """One color phase (receive by mask + send omega shares) on mask-form
+    arrays.  Returns the new state and the post-receive cost ``uu`` (for
+    rounding).  Row/col shifts wrap; wrapped garbage only ever lands in
+    inert or discarded-halo positions (layout contract in the module doc).
+    """
+    recvm = _color(m, recv_code)
+    sendm = _color(m, send_code)
+    omega = sendm / jnp.maximum(m["deg"] + leave, 1.0)
+
+    e1 = _marg(hm1, hm2, hc)
+    e2 = _marg(hm2, hm1, hc)
+    v1 = _marg(vm1, vm2, vc)
+    v2 = _marg(vm2, vm1, vc)
+
+    mh1 = recvm * m["hedge"]
+    mh2 = _shift_cols(recvm, -1) * m["hedge"]
+    mv1 = recvm * m["vedge"]
+    mv2 = _shift_rows(recvm, -1) * m["vedge"]
+
+    uu = (u + e1 * mh1[None] + _shift_cols(e2 * mh2[None], 1)
+            + v1 * mv1[None] + _shift_rows(v2 * mv2[None], 1))
+    d = uu * omega[None]
+    resid = 1.0 - omega * m["deg"]
+
+    new = (uu * resid[None] * m["cellf"][None],
+           (hm1 - e1 * mh1[None] + d) * m["hedge"][None],
+           (hm2 - e2 * mh2[None] + _shift_cols(d, -1)) * m["hedge"][None],
+           (vm1 - v1 * mv1[None] + d) * m["vedge"][None],
+           (vm2 - v2 * mv2[None] + _shift_rows(d, -1)) * m["vedge"][None])
+    return new, uu
+
+
+def mode_phases(mode):
+    """(recv_color, send_color, leave) per phase; colors 0=none 1=black
+    2=red.  Mirrors GridPottsModel._mode_params closed-form SRMP weights
+    (LP_MP.h:1393-1401 / :1437)."""
+    mode = ReparametrizationMode.convert(mode)
+    if mode in (ReparametrizationMode.anisotropic,
+                ReparametrizationMode.anisotropic2):
+        return ((0, 1, 0.0), (2, 0, 0.0), (0, 2, 0.0), (1, 0, 0.0))
+    if mode == ReparametrizationMode.uniform:
+        lv = 0.0
+    elif mode == ReparametrizationMode.damped_uniform:
+        lv = 1.0
+    else:
+        raise NotImplementedError(f"{mode} not supported on grid model")
+    return ((1, 1, lv), (2, 2, lv), (2, 2, lv), (1, 1, lv))
+
+
+# ---------------------------------------------------------------------------
+# mask-form construction
+# ---------------------------------------------------------------------------
+
+def mask_form(unary, hcost, vcost, n_shards=1, lane=1, dtype=None):
+    """Pack dense grid inputs into mask form.
+
+    Returns (state dict of [L,R,C], hc_pad [R,C], vc_pad [R,C],
+    geom=(L,R,C,H,W,P)).  R is the smallest multiple of ``n_shards`` that
+    is >= H+2 (one inert border row each side so every shard halo is in
+    bounds); C = W+2 rounded up to a multiple of ``lane``.
+    """
+    dtype = dtype or real_dtype()
+    unary = np.asarray(unary, dtype=dtype)
+    H, W, L = unary.shape
+    P = 1
+    R = -(-(H + 2) // n_shards) * n_shards
+    C = -(-(W + 2) // lane) * lane
+    u = np.zeros((L, R, C), dtype)
+    u[:, P:P + H, 1:1 + W] = np.moveaxis(unary, -1, 0)
+    hc = np.zeros((R, C), dtype)
+    hc[P:P + H, 1:W] = np.asarray(hcost, dtype=dtype)
+    vc = np.zeros((R, C), dtype)
+    vc[P:P + H - 1, 1:1 + W] = np.asarray(vcost, dtype=dtype)
+    zeros = np.zeros((L, R, C), dtype)
+    state = {"u": jnp.asarray(u),
+             "hm1": jnp.asarray(zeros), "hm2": jnp.asarray(zeros),
+             "vm1": jnp.asarray(zeros), "vm2": jnp.asarray(zeros)}
+    return state, jnp.asarray(hc), jnp.asarray(vc), (L, R, C, H, W, P)
+
+
+def to_dense(state, geom):
+    """Inverse of mask_form for parity checks: returns (u, hm1, hm2, vm1,
+    vm2) in models/grid_potts.py dense shapes."""
+    L, R, C, H, W, P = geom
+    return (state["u"][:, P:P + H, 1:1 + W],
+            state["hm1"][:, P:P + H, 1:W],
+            state["hm2"][:, P:P + H, 1:W],
+            state["vm1"][:, P:P + H - 1, 1:1 + W],
+            state["vm2"][:, P:P + H - 1, 1:1 + W])
+
+
+# ---------------------------------------------------------------------------
+# sharded engine
+# ---------------------------------------------------------------------------
+
+class ShardedGridPotts:
+    """Row-sharded grid Potts SRMP over an n-device mesh.
+
+    ``iterate`` runs exact forward+backward passes; ``lower_bound`` and
+    ``round_primal`` mirror GridPottsModel's API.  With a 1-device mesh the
+    halo permutations are empty and the model degenerates to plain jit.
+    """
+
+    def __init__(self, unary, hcost, vcost, mesh=None, devices=None,
+                 lane=1, dtype=None):
+        if mesh is None:
+            devices = list(devices if devices is not None else jax.devices())
+            mesh = Mesh(np.array(devices), (AXIS,))
+        self.mesh = mesh
+        self.n = mesh.shape[AXIS]
+        self.dtype = dtype or real_dtype()
+
+        state, hc, vc, geom = mask_form(unary, hcost, vcost, self.n, lane,
+                                        self.dtype)
+        self.geom = geom
+        L, R, C, H, W, P = geom
+        self.Hl = R // self.n
+
+        shard3 = NamedSharding(mesh, PartitionSpec(None, AXIS, None))
+        self.state = {k: jax.device_put(v, shard3) for k, v in state.items()}
+        # per-shard cost blocks with one halo row each side: [n, Hl+2, C]
+        self.hc_ext = jax.device_put(self._ext_blocks(hc),
+                                     NamedSharding(mesh, PartitionSpec(AXIS, None, None)))
+        self.vc_ext = jax.device_put(self._ext_blocks(vc), self.hc_ext.sharding)
+        self.hc, self.vc = hc, vc
+
+        self._steps = {}
+        self._rounds = {}
+        self._lb = jax.jit(self._lb_impl)
+
+    def _ext_blocks(self, x):
+        """[R, C] -> stacked per-shard windows [n, Hl+2, C] (zero-filled
+        outside the array, matching ppermute's edge zero-fill)."""
+        R, C = x.shape
+        xp = np.zeros((R + 2, C), x.dtype)
+        xp[1:-1] = np.asarray(x)
+        return jnp.asarray(np.stack([xp[k * self.Hl:k * self.Hl + self.Hl + 2]
+                                     for k in range(self.n)]))
+
+    # -- shard_map bodies --------------------------------------------------
+    def _halo_ext(self, x):
+        """Prepend the upper neighbor's last row and append the lower
+        neighbor's first row (zero rows at the mesh edges)."""
+        if self.n == 1:
+            zero = jnp.zeros_like(x[:, :1])
+            return jnp.concatenate([zero, x, zero], axis=1)
+        up = jax.lax.ppermute(x[:, -1:], AXIS,
+                              [(i, i + 1) for i in range(self.n - 1)])
+        down = jax.lax.ppermute(x[:, :1], AXIS,
+                                [(i + 1, i) for i in range(self.n - 1)])
+        return jnp.concatenate([up, x, down], axis=1)
+
+    def _local_masks(self):
+        L, R, C, H, W, P = self.geom
+        k = jax.lax.axis_index(AXIS)
+        rows = (k * self.Hl - 1
+                + jax.lax.broadcasted_iota(jnp.int32, (self.Hl + 2, C), 0))
+        cols = jax.lax.broadcasted_iota(jnp.int32, (self.Hl + 2, C), 1)
+        return _masks(rows, cols, H, W, P, self.dtype)
+
+    def _phase_local(self, st, hc, vc, m, phase):
+        ext = tuple(self._halo_ext(x) for x in st)
+        new, uu = _phase_arrays(*ext, hc, vc, m, *phase)
+        return tuple(a[:, 1:-1] for a in new), uu[:, 1:-1]
+
+    def _make_step(self, mode):
+        phases = mode_phases(mode)
+
+        def body(u, hm1, hm2, vm1, vm2, hc_ext, vc_ext, n_iter):
+            hc, vc = hc_ext[0], vc_ext[0]
+            m = self._local_masks()
+
+            def one(_, st):
+                for ph in phases:
+                    st, _ = self._phase_local(st, hc, vc, m, ph)
+                return st
+
+            return jax.lax.fori_loop(0, n_iter, one, (u, hm1, hm2, vm1, vm2))
+
+        p3 = PartitionSpec(None, AXIS, None)
+        pc = PartitionSpec(AXIS, None, None)
+        f = jax.shard_map(body, mesh=self.mesh,
+                          in_specs=(p3,) * 5 + (pc, pc, PartitionSpec()),
+                          out_specs=(p3,) * 5)
+        return jax.jit(f)
+
+    def _make_round(self, mode):
+        """Rounding pass: per phase, label updated cells by the argmin of
+        their post-receive cost (MpRoundingSolver semantics,
+        models/grid_potts.py._round_impl); primal cost summed via psum."""
+        phases = mode_phases(mode)
+        L, R, C, H, W, P = self.geom
+
+        def body(u, hm1, hm2, vm1, vm2, hc_ext, vc_ext):
+            hc, vc = hc_ext[0], vc_ext[0]
+            m = self._local_masks()
+            mc = {k: v[1:-1] for k, v in m.items()}
+            st = (u, hm1, hm2, vm1, vm2)
+            x = jnp.zeros((self.Hl, C), dtype=jnp.int32)
+            for ph in phases:
+                recvm, sendm = _color(mc, ph[0]), _color(mc, ph[1])
+                st, uu = self._phase_local(st, hc, vc, m, ph)
+                am = jnp.argmin(uu, axis=0).astype(jnp.int32)
+                x = jnp.where((recvm + sendm) > 0, am, x)
+            u, hm1, hm2, vm1, vm2 = st
+            xd = self._halo_ext(x[None])[0, 1:]  # [Hl+1, C]: local + row below
+            xe = x[None]
+            ub = jnp.sum(jnp.take_along_axis(u, xe, axis=0)[0] * mc["cellf"])
+            xr = _shift_cols(x, -1)
+            ub += jnp.sum((jnp.take_along_axis(hm1, xe, 0)[0]
+                           + jnp.take_along_axis(hm2, xr[None], 0)[0]
+                           + jnp.where(x != xr, hc[1:-1], 0.0)) * mc["hedge"])
+            xb = xd[1:]
+            ub += jnp.sum((jnp.take_along_axis(vm1, xe, 0)[0]
+                           + jnp.take_along_axis(vm2, xb[None], 0)[0]
+                           + jnp.where(x != xb, vc[1:-1], 0.0)) * mc["vedge"])
+            ub = jax.lax.psum(ub, AXIS)
+            return (u, hm1, hm2, vm1, vm2), x, ub
+
+        p3 = PartitionSpec(None, AXIS, None)
+        pc = PartitionSpec(AXIS, None, None)
+        f = jax.shard_map(body, mesh=self.mesh,
+                          in_specs=(p3,) * 5 + (pc, pc),
+                          out_specs=((p3,) * 5, PartitionSpec(AXIS, None),
+                                     PartitionSpec()))
+        return jax.jit(f)
+
+    def _lb_impl(self, state, hc, vc):
+        lb = jnp.sum(jnp.min(state["u"], axis=0))
+        lb += jnp.sum(_potts_min_pair(state["hm1"], state["hm2"], hc))
+        lb += jnp.sum(_potts_min_pair(state["vm1"], state["vm2"], vc))
+        return lb
+
+    # -- public API ---------------------------------------------------------
+    def iterate(self, mode="anisotropic", n: int = 1):
+        mode = ReparametrizationMode.convert(mode)
+        if mode not in self._steps:
+            self._steps[mode] = self._make_step(mode)
+        s = self.state
+        out = self._steps[mode](s["u"], s["hm1"], s["hm2"], s["vm1"],
+                                s["vm2"], self.hc_ext, self.vc_ext,
+                                jnp.int32(n))
+        self.state = dict(zip(("u", "hm1", "hm2", "vm1", "vm2"), out))
+        return self
+
+    def lower_bound(self) -> float:
+        return float(self._lb(self.state, self.hc, self.vc))
+
+    def round_primal(self, mode="damped_uniform"):
+        mode = ReparametrizationMode.convert(mode)
+        if mode not in self._rounds:
+            self._rounds[mode] = self._make_round(mode)
+        s = self.state
+        out, x, ub = self._rounds[mode](s["u"], s["hm1"], s["hm2"], s["vm1"],
+                                        s["vm2"], self.hc_ext, self.vc_ext)
+        self.state = dict(zip(("u", "hm1", "hm2", "vm1", "vm2"), out))
+        L, R, C, H, W, P = self.geom
+        return np.asarray(x)[P:P + H, 1:1 + W], float(ub)
+
+    def dense_state(self):
+        return to_dense(self.state, self.geom)

@@ -1,0 +1,71 @@
+"""Multi-device tests: sharded grid engine vs the dense single-device model.
+
+Runs on the 8-device virtual CPU mesh (conftest.py).  Parity is exact (same
+coordinate updates), so comparisons use tight f64 tolerances.
+"""
+import jax
+import numpy as np
+import pytest
+
+from lp_mp_tpu.models.grid_potts import GridPottsModel, random_grid
+from lp_mp_tpu.parallel.grid import ShardedGridPotts
+
+H, W, L = 11, 7, 3
+
+
+def _models(n_shards, seed=3):
+    u, hc, vc = random_grid(H, W, L, seed=seed)
+    dense = GridPottsModel(u, hc, vc)
+    sharded = ShardedGridPotts(u, hc, vc, devices=jax.devices()[:n_shards])
+    return dense, sharded
+
+
+@pytest.mark.parametrize("n_shards", [1, 2, 4, 8])
+@pytest.mark.parametrize("mode", ["anisotropic", "uniform", "damped_uniform"])
+def test_iterate_parity(n_shards, mode):
+    dense, sharded = _models(n_shards)
+    dense.iterate(mode, n=3)
+    sharded.iterate(mode, n=3)
+    ds = (dense.state["u"], dense.state["hm1"], dense.state["hm2"],
+          dense.state["vm1"], dense.state["vm2"])
+    for a, b in zip(ds, sharded.dense_state()):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-12)
+    assert abs(dense.lower_bound() - sharded.lower_bound()) < 1e-10
+
+
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_round_parity(n_shards):
+    dense, sharded = _models(n_shards, seed=5)
+    dense.iterate("anisotropic", n=4)
+    sharded.iterate("anisotropic", n=4)
+    x_d, ub_d = dense.round_primal()
+    x_s, ub_s = sharded.round_primal()
+    np.testing.assert_array_equal(x_d, x_s)
+    assert abs(ub_d - ub_s) < 1e-10
+    for a, b in zip((dense.state["u"], dense.state["hm1"], dense.state["hm2"],
+                     dense.state["vm1"], dense.state["vm2"]),
+                    sharded.dense_state()):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-12)
+
+
+def test_monotone_lb_8_shards():
+    _, sharded = _models(8, seed=7)
+    lbs = []
+    for _ in range(6):
+        sharded.iterate("anisotropic", n=1)
+        lbs.append(sharded.lower_bound())
+    for a, b in zip(lbs, lbs[1:]):
+        assert b >= a - 1e-9
+    # ub bounds lb from above after rounding
+    _, ub = sharded.round_primal()
+    assert ub >= lbs[-1] - 1e-9
+
+
+def test_state_is_actually_sharded():
+    _, sharded = _models(8)
+    sh = sharded.state["u"].sharding
+    assert len(sh.device_set) == 8
+    sharded.iterate("anisotropic", n=1)
+    assert len(sharded.state["u"].sharding.device_set) == 8
