@@ -87,7 +87,9 @@ class MrfConstructor:
     def add_tightening_triplet(self, i: int, j: int, k: int) -> FactorRef:
         """Zero-cost ternary simplex coupled to the three pairwise factors
         (test/graphical_model.cpp:140-204).  Pairwise factors must be dense
-        (use pairwise_rep='dense' when tightening)."""
+        (use pairwise_rep='dense' when tightening); missing chord pairwise
+        factors are created with zero cost (the reference
+        AddTighteningTriplet does the same for triangulated cycles)."""
         assert i < j < k
         key = (i, j, k)
         if key in self.triplets:
@@ -99,7 +101,14 @@ class MrfConstructor:
         for (a, b), mt in (((i, j), PAIRWISE_TRIPLET_12),
                            ((i, k), PAIRWISE_TRIPLET_13),
                            ((j, k), PAIRWISE_TRIPLET_23)):
-            assert (a, b) in self.pairwise, f"missing pairwise factor {(a, b)}"
+            if (a, b) not in self.pairwise:
+                la, lb = self._n_labels(a), self._n_labels(b)
+                saved = self.pairwise_rep
+                self.pairwise_rep = "dense"
+                try:
+                    self.add_pairwise_factor(a, b, np.zeros((la, lb)))
+                finally:
+                    self.pairwise_rep = saved
             p = self.pairwise[(a, b)]
             assert p.ftype is PAIRWISE_SIMPLEX, \
                 "tightening requires dense pairwise factors (pairwise_rep='dense')"
@@ -115,16 +124,24 @@ class MrfConstructor:
         ft, data = self.graph.factors[self.unaries[i].fid]
         return len(data)
 
-    # -- tightening (cycle separation comes in a later milestone) ----------
+    # -- tightening ---------------------------------------------------------
     def tighten(self, engine, max_constraints: int) -> int:
-        """Triplet search via frustrated-triangle scoring on the current
-        reparametrization (test/graphical_model.cpp:191-204 acceptance).
+        """Triplet search via frustrated-triangle scoring, then odd-cycle
+        separation on the k-projection graph when triangles alone find
+        nothing (test/graphical_model.cpp:191-246 acceptance: both the
+        3-cycle triplet search and the chordless frustrated 4-cycle must
+        close to lb 1.0 through Solve() alone).
 
         For each triangle of pairwise factors, the guaranteed dual increase
         of adding its triplet is lb(joint triple) - sum of independent
-        bounds; we approximate with the standard MPLP criterion."""
+        bounds; chordless frustrated cycles are found by the signed
+        projection-graph search (models/cycle_separation.py)."""
+        from .cycle_separation import cycle_search
         from .tightening import triplet_search
-        return triplet_search(self, engine, max_constraints)
+        added = triplet_search(self, engine, max_constraints)
+        if added < max_constraints:
+            added += cycle_search(self, engine, max_constraints - added)
+        return added
 
 
 # -- primal extraction -------------------------------------------------------
