@@ -26,7 +26,8 @@ class Solver:
     def __init__(self, visitor: "StandardVisitor | None" = None,
                  schedule_mode: str = "wavefront", use_jit: bool = True,
                  reparametrization_type: str = "shared",
-                 inner_iteration: int = 5):
+                 inner_iteration: int = 5,
+                 exact_rounding: "str | None" = None):
         self.graph = FactorGraph()
         self.visitor = visitor if visitor is not None else StandardVisitor()
         self.schedule_mode = schedule_mode
@@ -34,6 +35,10 @@ class Solver:
         # --reparametrizationType / --innerIteration (LP_MP.h:588-594)
         self.reparametrization_type = reparametrization_type
         self.inner_iteration = inner_iteration
+        # exact rounding oracle (LP_sat / combiLP analogue): None, "ilp"
+        # (solver.hxx:529-546 SAT rounding) or "combilp" (combiLP.hxx:92-271)
+        assert exact_rounding in (None, "ilp", "combilp")
+        self.exact_rounding = exact_rounding
         self.constructors: list[Any] = []
         self.engine: "Engine | None" = None
         self.lower_bound_: float = float("-inf")
@@ -106,6 +111,16 @@ class Solver:
                 for ctor in self.constructors:
                     if hasattr(ctor, "compute_primal"):
                         self.register_primal(ctor.compute_primal(self.engine))
+                if self.exact_rounding == "ilp":
+                    from .io.ilp import ilp_round
+                    p, _ = ilp_round(self.engine)
+                    if p is not None:
+                        self.register_primal(p)
+                elif self.exact_rounding == "combilp":
+                    from .combilp import combi_lp
+                    p, _ = combi_lp(self.engine, prim=prim)
+                    if p is not None:
+                        self.register_primal(p)
             else:
                 self.engine.compute_pass(c.repam)
             # PostIterate (solver.hxx:277-287)

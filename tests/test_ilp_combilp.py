@@ -1,0 +1,127 @@
+"""Exact ILP rounding + combiLP (reference LP_sat solver.hxx:529-546,
+acceptance test/graphical_model.cpp:277-302, and combiLP.hxx:92-271).
+
+The exact oracle must (a) recover the brute-force optimum, (b) close the
+duality gap on tightened frustrated instances where MP rounding cannot,
+and (c) the combiLP region loop must return a consistent optimal primal
+while solving only a sub-region when possible.
+"""
+import itertools
+
+import numpy as np
+import pytest
+
+from lp_mp_tpu import Solver, StandardTighteningVisitor, StandardVisitor
+from lp_mp_tpu.combilp import combi_lp
+from lp_mp_tpu.config import Direction
+from lp_mp_tpu.io.ilp import ilp_round, solve_ilp
+from lp_mp_tpu.models.mrf import MrfConstructor, mrf_labeling
+
+NEG_POTTS = np.array([[1.0, 0.0], [0.0, 1.0]])
+POS_POTTS = np.array([[0.0, 1.0], [1.0, 0.0]])
+
+
+def _random_mrf(mrf, n_vars=6, n_labels=3, seed=0, p_edge=0.6):
+    rng = np.random.default_rng(seed)
+    unaries, edges = [], {}
+    for _ in range(n_vars):
+        u = rng.normal(size=n_labels)
+        unaries.append(u)
+        mrf.add_unary_factor(u)
+    for i in range(n_vars):
+        for j in range(i + 1, n_vars):
+            if rng.random() < p_edge:
+                m = rng.normal(size=(n_labels, n_labels))
+                edges[(i, j)] = m
+                mrf.add_pairwise_factor(i, j, m)
+    return unaries, edges
+
+
+def _brute_force(unaries, edges):
+    n = len(unaries)
+    L = len(unaries[0])
+    best = np.inf
+    for x in itertools.product(range(L), repeat=n):
+        c = sum(unaries[i][x[i]] for i in range(n))
+        c += sum(m[x[i], x[j]] for (i, j), m in edges.items())
+        best = min(best, c)
+    return best
+
+
+def test_ilp_round_matches_brute_force():
+    s = Solver(visitor=StandardVisitor(max_iter=5))
+    mrf = s.add_constructor(MrfConstructor, pairwise_rep="dense")
+    unaries, edges = _random_mrf(mrf, seed=1)
+    s.build_engine()
+    s.engine.compute_pass("anisotropic")
+    prim, cost = ilp_round(s.engine)
+    assert prim is not None
+    assert cost == pytest.approx(_brute_force(unaries, edges), abs=1e-6)
+    # objective is invariant under reparametrization: engine agrees
+    assert s.engine.evaluate_primal(prim) == pytest.approx(cost, abs=1e-9)
+
+
+def test_ilp_closes_gap_mp_rounding_cannot():
+    # frustrated triangle, no tightening: lb = 0, optimum = 1.  MP rounding
+    # finds cost-1 labelings too, but the ilp solve certifies optimum
+    # exactly (graphical_model.cpp:277-302 analogue: exact rounding closes
+    # the gap once tightening lifts the bound).
+    s = Solver(visitor=StandardTighteningVisitor(
+        max_iter=60, tighten=True, tighten_iteration=5, tighten_interval=10,
+        tighten_constraints_max=2,
+        tighten_reparametrization="damped_uniform"),
+        exact_rounding="ilp")
+    mrf = s.add_constructor(MrfConstructor, pairwise_rep="dense")
+    for _ in range(3):
+        mrf.add_unary_factor(np.zeros(2))
+    mrf.add_pairwise_factor(0, 1, NEG_POTTS)
+    mrf.add_pairwise_factor(0, 2, POS_POTTS)
+    mrf.add_pairwise_factor(1, 2, POS_POTTS)
+    lb = s.solve()
+    assert lb == pytest.approx(1.0, abs=1e-6)
+    assert s.primal_cost() == pytest.approx(1.0, abs=1e-6)
+    assert s.primal_cost() <= lb + 1e-6  # duality gap closed
+
+
+def test_subset_ilp_conditioning():
+    s = Solver(visitor=StandardVisitor(max_iter=20))
+    mrf = s.add_constructor(MrfConstructor, pairwise_rep="dense")
+    _random_mrf(mrf, n_vars=5, seed=3)
+    s.build_engine()
+    for _ in range(10):
+        s.engine.compute_pass("anisotropic")
+    prim = s.engine.compute_pass_and_primal("damped_uniform", Direction.forward)
+    base = s.engine.evaluate_primal(prim)
+    assert np.isfinite(base)
+    # re-optimize only half the factors, conditioned on the rest
+    n = s.engine.graph.n_factors
+    mask = np.zeros(n, dtype=bool)
+    mask[: n // 2] = True
+    sub, cost = solve_ilp(s.engine, subset=mask, fixed_prim=prim)
+    assert sub is not None
+    assert np.isfinite(cost)
+    assert cost <= base + 1e-9  # conditioned exact solve can only improve
+    assert s.engine.check_primal_consistency(sub)
+
+
+def test_combilp_reaches_optimum():
+    s = Solver(visitor=StandardVisitor(max_iter=20))
+    mrf = s.add_constructor(MrfConstructor, pairwise_rep="dense")
+    unaries, edges = _random_mrf(mrf, n_vars=6, seed=7)
+    s.build_engine()
+    for _ in range(15):
+        s.engine.compute_pass("anisotropic")
+    prim, cost = combi_lp(s.engine, max_rounds=10)
+    assert prim is not None
+    assert s.engine.check_primal_consistency(prim)
+    assert cost == pytest.approx(_brute_force(unaries, edges), abs=1e-6)
+
+
+def test_combilp_through_solver():
+    s = Solver(visitor=StandardVisitor(max_iter=30), exact_rounding="combilp")
+    mrf = s.add_constructor(MrfConstructor, pairwise_rep="dense")
+    unaries, edges = _random_mrf(mrf, n_vars=5, n_labels=2, seed=11)
+    s.solve()
+    assert s.primal_cost() == pytest.approx(_brute_force(unaries, edges), abs=1e-6)
+    lab = mrf_labeling(mrf, s.engine, s.best_primal)
+    assert lab.shape == (5,)
