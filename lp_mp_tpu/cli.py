@@ -50,6 +50,7 @@ def _visitor(args, instance_name: str):
     from .visitors import StandardTighteningVisitor
     kw = dict(
         max_iter=args.maxIter, timeout=args.timeout,
+        max_memory_mb=args.maxMemory,
         min_dual_improvement=args.minDualImprovement,
         min_dual_improvement_interval=args.minDualImprovementInterval,
         primal_computation_interval=args.primalComputationInterval,

@@ -16,6 +16,18 @@ from . import config
 from .config import LpControl, ReparametrizationMode
 
 
+def _memory_used_mb() -> float:
+    """Process RSS in MB (reference mem_use.c, via /proc — Linux only;
+    returns 0 where unavailable so the cap never misfires)."""
+    try:
+        with open("/proc/self/statm") as f:
+            rss_pages = int(f.read().split()[1])
+        import os
+        return rss_pages * os.sysconf("SC_PAGE_SIZE") / (1024 * 1024)
+    except (OSError, ValueError, IndexError):
+        return 0.0
+
+
 @dataclasses.dataclass
 class StandardVisitor:
     max_iter: int = 1000
@@ -75,6 +87,15 @@ class StandardVisitor:
             return ret
         if elapsed >= self.timeout:
             self.remaining_iter = min(1, self.remaining_iter)
+        if self.max_memory_mb < float("inf"):
+            # --maxMemory RSS enforcement (standard_visitor.hxx:156-162,
+            # mem_use.c): one final rounding iteration, then terminate
+            used = _memory_used_mb()
+            if used > self.max_memory_mb:
+                if config.diagnostics():
+                    print(f"Solver uses {used:.0f} MB memory, "
+                          "aborting optimization")
+                self.remaining_iter = min(1, self.remaining_iter)
         if (c.compute_lower_bound and self.min_dual_improvement > 0 and
                 self.cur_iter >= self.min_dual_improvement_interval and
                 len(self.lower_bounds) >= self.min_dual_improvement_interval + 1):

@@ -97,3 +97,26 @@ def test_jsonl_visitor(tmp_path):
     recs = [json.loads(l) for l in path.read_text().splitlines()]
     assert len(recs) >= 1
     assert {"iteration", "time_ms", "lower_bound"} <= set(recs[0])
+
+
+def test_memory_cap_terminates_cleanly():
+    # --maxMemory enforcement (standard_visitor.hxx:156-162): a tiny cap
+    # triggers one final rounding iteration and clean termination with the
+    # best-so-far primal
+    import numpy as np
+    from lp_mp_tpu import Solver, StandardVisitor
+    from lp_mp_tpu.models.mrf import MrfConstructor
+    from lp_mp_tpu.visitors import _memory_used_mb
+
+    assert _memory_used_mb() > 1.0  # RSS reader works on this platform
+    s = Solver(visitor=StandardVisitor(max_iter=100000, max_memory_mb=1.0))
+    mrf = s.add_constructor(MrfConstructor, pairwise_rep="dense")
+    rng = np.random.default_rng(0)
+    for _ in range(4):
+        mrf.add_unary_factor(rng.normal(size=3))
+    for i in range(3):
+        mrf.add_pairwise_factor(i, i + 1, rng.normal(size=(3, 3)))
+    lb = s.solve()
+    assert s.visitor.cur_iter < 100  # terminated early, not by max_iter
+    assert np.isfinite(lb)
+    assert np.isfinite(s.primal_cost())  # final rounding iteration ran
