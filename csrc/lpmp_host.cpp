@@ -296,4 +296,70 @@ int lpmp_bfs_path(int n, int m, const int64_t* us, const int64_t* vs,
   return static_cast<int>(rev.size());
 }
 
+// ---------------------------------------------------------------------------
+// Schedule compilation (engine host path; the reference walks factors
+// sequentially, LP_MP.h:869-1005 — the TPU engine needs the phase
+// decomposition below, which is pure sequential graph-walking and therefore
+// native).  Adjacency is CSR over factor ids (message endpoints, both
+// directions).
+// ---------------------------------------------------------------------------
+
+// levelize (schedule.levelize semantics): place each updated factor, in
+// sweep order, into the earliest phase after every earlier factor whose
+// touch-set (self + neighbors) intersects its own.  Writes phase id per
+// factor into out_phase (-1 = not scheduled); returns #phases.
+int64_t lpmp_levelize(int64_t n, const int64_t* order, int64_t n_order,
+                      const int64_t* indptr, const int64_t* indices,
+                      const uint8_t* updated, int64_t* out_phase) {
+  std::vector<int64_t> taken(n, -1);
+  int64_t n_phases = 0;
+  for (int64_t k = 0; k < n_order; ++k) {
+    const int64_t f = order[k];
+    if (!updated[f]) continue;
+    int64_t p = taken[f];
+    for (int64_t e = indptr[f]; e < indptr[f + 1]; ++e)
+      p = std::max(p, taken[indices[e]]);
+    p += 1;
+    out_phase[f] = p;
+    n_phases = std::max(n_phases, p + 1);
+    if (taken[f] < p) taken[f] = p;
+    for (int64_t e = indptr[f]; e < indptr[f + 1]; ++e)
+      if (taken[indices[e]] < p) taken[indices[e]] = p;
+  }
+  return n_phases;
+}
+
+// distance-2 greedy coloring over updated factors (schedule.coloring_order
+// conflict rule: direct adjacency or shared neighbor); returns #colors.
+int64_t lpmp_color2(int64_t n, const int64_t* indptr, const int64_t* indices,
+                    const uint8_t* updated, int64_t* color) {
+  std::vector<int64_t> used_stamp;  // color -> last factor that saw it
+  used_stamp.reserve(64);
+  int64_t n_colors = 0;
+  for (int64_t f = 0; f < n; ++f) color[f] = -1;
+  for (int64_t f = 0; f < n; ++f) {
+    if (!updated[f]) continue;
+    auto mark = [&](int64_t g) {
+      if (g != f && updated[g] && color[g] >= 0) {
+        const int64_t c = color[g];
+        if (c >= static_cast<int64_t>(used_stamp.size()))
+          used_stamp.resize(c + 1, -1);
+        used_stamp[c] = f;
+      }
+    };
+    for (int64_t e = indptr[f]; e < indptr[f + 1]; ++e) {
+      const int64_t h = indices[e];
+      mark(h);
+      for (int64_t e2 = indptr[h]; e2 < indptr[h + 1]; ++e2)
+        mark(indices[e2]);
+    }
+    int64_t c = 0;
+    while (c < static_cast<int64_t>(used_stamp.size()) && used_stamp[c] == f)
+      ++c;
+    color[f] = c;
+    n_colors = std::max(n_colors, c + 1);
+  }
+  return n_colors;
+}
+
 }  // extern "C"

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import functools
 
 import numpy as np
 
@@ -75,21 +76,33 @@ class MessageSchedule(enum.Flag):
         return cls.LEFT_SENDS | cls.RIGHT_SENDS
 
     # --- predicates mirroring factors_messages.hxx:1530-1545 -------------
+    # memoized per member: these are queried per message instance on the
+    # host plan-construction path, where enum.Flag bit-tests dominate
+    # engine-build time on big graphs (a 512x512 grid has ~10^6 messages)
     @property
     def sends_to_right(self) -> bool:
-        return bool(self & MessageSchedule.LEFT_SENDS)
+        return _schedule_bits(self)[0]
 
     @property
     def sends_to_left(self) -> bool:
-        return bool(self & MessageSchedule.RIGHT_SENDS)
+        return _schedule_bits(self)[1]
 
     @property
     def left_receives(self) -> bool:
-        return bool(self & MessageSchedule.LEFT_RECEIVES)
+        return _schedule_bits(self)[2]
 
     @property
     def right_receives(self) -> bool:
-        return bool(self & MessageSchedule.RIGHT_RECEIVES)
+        return _schedule_bits(self)[3]
+
+
+@functools.lru_cache(maxsize=None)
+def _schedule_bits(s: "MessageSchedule") -> tuple[bool, bool, bool, bool]:
+    v = s.value
+    return (bool(v & MessageSchedule.LEFT_SENDS.value),
+            bool(v & MessageSchedule.RIGHT_SENDS.value),
+            bool(v & MessageSchedule.LEFT_RECEIVES.value),
+            bool(v & MessageSchedule.RIGHT_RECEIVES.value))
 
 
 class ReparametrizationMode(enum.Enum):

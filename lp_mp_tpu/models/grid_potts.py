@@ -93,6 +93,9 @@ class GridPottsModel:
         self._round = jax.jit(self._round_impl)
         self._fast = jax.jit(self._run_fast_impl, static_argnums=(2, 3),
                              donate_argnums=0)
+        self._to_mask = jax.jit(self._to_mask_form, static_argnums=1)
+        self._from_mask = jax.jit(self._from_mask_form, static_argnums=1)
+        self._pallas_costs_cache = None
 
     # ------------------------------------------------------------------
     def _mode_params(self, mode):
@@ -175,6 +178,85 @@ class GridPottsModel:
         return s
 
     # ------------------------------------------------------------------
+    # Pallas hot path: the same fused color schedule, each phase one
+    # VMEM-fused kernel (ops/pallas_grid.phase_update_v2); ~25x the XLA
+    # path on the 1000x1000 benchmark (bench.py reports both).
+    # ------------------------------------------------------------------
+    def _pallas_geom(self, tile_rows: int = 8):
+        H, W, L = self.H, self.W, self.L
+        P = 2
+        Wp = ((W + 2 + 127) // 128) * 128
+        Hp = ((H + 2 * P + tile_rows - 1) // tile_rows) * tile_rows
+        return (L, Hp, Wp, H, W, P, tile_rows)
+
+    def _to_mask_form(self, s, geom):
+        """Dense state -> [L, Hp, Wp] mask form (pallas_grid layout)."""
+        L, Hp, Wp, H, W, P, TH = geom
+        z = jnp.zeros((L, Hp, Wp), jnp.float32)
+        return {
+            "u": z.at[:, P:P + H, 1:1 + W].set(s["u"].astype(jnp.float32)),
+            "hm1": z.at[:, P:P + H, 1:W].set(s["hm1"].astype(jnp.float32)),
+            "hm2": z.at[:, P:P + H, 1:W].set(s["hm2"].astype(jnp.float32)),
+            "vm1": z.at[:, P:P + H - 1, 1:1 + W].set(s["vm1"].astype(jnp.float32)),
+            "vm2": z.at[:, P:P + H - 1, 1:1 + W].set(s["vm2"].astype(jnp.float32)),
+        }
+
+    def _from_mask_form(self, m, geom):
+        L, Hp, Wp, H, W, P, TH = geom
+        dt = self.dtype
+        return {
+            "u": m["u"][:, P:P + H, 1:1 + W].astype(dt),
+            "hm1": m["hm1"][:, P:P + H, 1:W].astype(dt),
+            "hm2": m["hm2"][:, P:P + H, 1:W].astype(dt),
+            "vm1": m["vm1"][:, P:P + H - 1, 1:1 + W].astype(dt),
+            "vm2": m["vm2"][:, P:P + H - 1, 1:1 + W].astype(dt),
+        }
+
+    def _pallas_costs(self, geom):
+        L, Hp, Wp, H, W, P, TH = geom
+        hc = jnp.zeros((Hp, Wp), jnp.float32).at[P:P + H, 1:W].set(
+            self.hc.astype(jnp.float32))
+        vc = jnp.zeros((Hp, Wp), jnp.float32).at[P:P + H - 1, 1:1 + W].set(
+            self.vc.astype(jnp.float32))
+        return hc, vc
+
+    def _run_fast_pallas(self, s, mode, n, interpret):
+        """n iterations through the fused Pallas phase kernel.  Color codes:
+        1=black, 2=red (ops/pallas_grid.phase_update_v2 contract).
+
+        Phases are dispatched from Python (async, pipelined) rather than a
+        lax.fori_loop: on the axon runtime, Mosaic custom calls inside an
+        XLA while-loop run ~60x slower than the same kernels dispatched
+        back-to-back (measured 71 vs 8.7k it/s on the 1000x1000 grid —
+        bench/pallas_dma_hang.md artifact)."""
+        from ..ops.pallas_grid import phase_update_v2
+        geom = self._pallas_geom()
+        if self._pallas_costs_cache is None:
+            self._pallas_costs_cache = self._pallas_costs(geom)
+        hc, vc = self._pallas_costs_cache
+        m = self._to_mask(s, geom)
+
+        def ph(m, params):
+            return phase_update_v2(m, hc, vc, geom=geom, phase_params=params,
+                                   interpret=interpret)
+
+        mode = ReparametrizationMode.convert(mode)
+        if mode in (ReparametrizationMode.anisotropic,
+                    ReparametrizationMode.anisotropic2):
+            # fused schedule of _run_fast_impl: send-only prologue on black,
+            # then (red recv+send, black recv+send) per round
+            m = ph(m, (0, 1, 0.0))
+            for _ in range(n):
+                m = ph(ph(m, (2, 2, 0.0)), (1, 1, 0.0))
+        else:
+            leave = 0.0 if mode == ReparametrizationMode.uniform else 1.0
+            cyc = ((1, 1, leave), (2, 2, leave), (2, 2, leave), (1, 1, leave))
+            for _ in range(n):
+                for p in cyc:
+                    m = ph(m, p)
+        return self._from_mask(m, geom)
+
+    # ------------------------------------------------------------------
     def _lower_bound_impl(self, s):
         lb = jnp.sum(jnp.min(s["u"], axis=0))
         lb += jnp.sum(_potts_min_pair(s["hm1"], s["hm2"], self.hc))
@@ -214,9 +296,18 @@ class GridPottsModel:
             self.state = self._iterate(self.state, params)
         return self
 
-    def run_fast(self, n: int, mode="anisotropic"):
-        """n iterations, fused schedule, donated buffers (bench hot path)."""
+    def run_fast(self, n: int, mode="anisotropic", kernel="xla",
+                 interpret=False):
+        """n iterations, fused schedule, donated buffers (bench hot path).
+
+        kernel="pallas" routes every phase through the fused VMEM kernel
+        (ops/pallas_grid.phase_update_v2) — same coordinate updates, same
+        state; parity with the XLA path is pinned by tests/test_pallas_grid
+        and measured by bench.py on hardware."""
         mode = ReparametrizationMode.convert(mode)
+        if kernel == "pallas":
+            self.state = self._run_fast_pallas(self.state, mode, n, interpret)
+            return self
         fuse = mode in (ReparametrizationMode.anisotropic,
                         ReparametrizationMode.anisotropic2)
         self.state = self._fast(self.state, self._mode_params(mode), n, fuse)

@@ -24,14 +24,18 @@ from ..messages.simplex_marginalization import (UNARY_PAIRWISE_1,
 def is_potts(m: np.ndarray) -> "float | None":
     """If m == diff * [x1 != x2], return diff, else None."""
     m = np.asarray(m)
-    if m.shape[0] != m.shape[1]:
+    n = m.shape[0]
+    if m.shape[1] != n:
         return None
-    if not np.allclose(np.diag(m), 0.0):
+    r = np.ravel(m)
+    if np.abs(r[:: n + 1]).max(initial=0.0) > 1e-12:  # diagonal
         return None
-    off = m[~np.eye(m.shape[0], dtype=bool)]
-    if off.size and np.allclose(off, off.flat[0]):
-        return float(off.flat[0])
-    return None
+    if n < 2:
+        return 0.0
+    d = float(m[0, 1])
+    off = np.abs(r - d)
+    off[:: n + 1] = 0.0  # ignore diagonal lanes
+    return d if off.max() <= 1e-9 * max(1.0, abs(d)) else None
 
 
 class MrfConstructor:
@@ -62,12 +66,12 @@ class MrfConstructor:
         costs = np.asarray(costs, dtype=np.float64)
         ui, uj = self.unaries[i], self.unaries[j]
 
-        diff = is_potts(costs) if self.pairwise_rep == "auto" else None
+        if self.pairwise_rep != "dense":
+            diff = is_potts(costs)
+        else:
+            diff = None
         if self.pairwise_rep == "potts" or diff is not None:
-            if diff is None:
-                d = is_potts(costs)
-                assert d is not None, "pairwise_rep='potts' requires Potts costs"
-                diff = d
+            assert diff is not None, "pairwise_rep='potts' requires Potts costs"
             p = self.graph.add_factor(PAIRWISE_POTTS, (costs.shape[0], diff))
             m1, m2 = UNARY_POTTS_1, UNARY_POTTS_2
         else:

@@ -67,6 +67,12 @@ def get_lib():
     lib.lpmp_bfs_path.argtypes = [ctypes.c_int, ctypes.c_int, i64p, i64p, f64p,
                                   ctypes.c_int, ctypes.c_int, ctypes.c_double,
                                   i64p, ctypes.c_int]
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.lpmp_levelize.restype = ctypes.c_int64
+    lib.lpmp_levelize.argtypes = [ctypes.c_int64, i64p, ctypes.c_int64,
+                                  i64p, i64p, u8p, i64p]
+    lib.lpmp_color2.restype = ctypes.c_int64
+    lib.lpmp_color2.argtypes = [ctypes.c_int64, i64p, i64p, u8p, i64p]
     _LIB = lib
     return _LIB
 
@@ -140,3 +146,32 @@ def bfs_path(n: int, us, vs, ws, src: int, dst: int, threshold: float):
         return []
     assert r > 0
     return [int(x) for x in out[:r]]
+
+
+def levelize_csr(order, indptr, indices, updated):
+    """Phase id per factor (-1 = unscheduled) + #phases, or None (no lib)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(updated)
+    order = np.ascontiguousarray(order, dtype=np.int64)
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int64)
+    upd = np.ascontiguousarray(updated, dtype=np.uint8)
+    out = np.full(n, -1, dtype=np.int64)
+    n_phases = lib.lpmp_levelize(n, order, len(order), indptr, indices, upd, out)
+    return out, int(n_phases)
+
+
+def color2_csr(indptr, indices, updated):
+    """Distance-2 greedy colors per updated factor (-1 otherwise), or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(updated)
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int64)
+    upd = np.ascontiguousarray(updated, dtype=np.uint8)
+    out = np.full(n, -1, dtype=np.int64)
+    lib.lpmp_color2(n, indptr, indices, upd, out)
+    return out

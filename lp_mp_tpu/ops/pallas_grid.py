@@ -158,6 +158,148 @@ def _phase_kernel(params_ref,  # SMEM int32 [3]: recv_color, send_color, leave_x
     vm2_out[...] = center((vm2 - v2 * mv2[None] + _shift_rows(d, -1)) * vedge[None])
 
 
+def _phase_kernel_v2(u_m, u_c, u_p, hm1_m, hm1_c, hm1_p, hm2_m, hm2_c, hm2_p,
+                     vm1_m, vm1_c, vm1_p, vm2_m, vm2_c, vm2_p,
+                     hc_m, hc_c, hc_p, vc_m, vc_c, vc_p,
+                     u_out, hm1_out, hm2_out, vm1_out, vm2_out,
+                     *, L, Hp, Wp, H, W, P, TH,
+                     recv_color, send_color, leave):
+    """Fused color-phase update, halo via neighbor-block inputs.
+
+    The manual HBM->VMEM DMA with dynamic offsets of the v1 kernel hangs on
+    the axon/TPU-tunnel stack (artifact: bench/pallas_dma_hang.md), so the
+    halo rows come in as three pipelined blocked inputs per array (prev /
+    center / next row block, index maps clamped at the edges).  Rows
+    start-1 .. start+TH+2 are assembled in VMEM with static slices; masks
+    are computed from the *logical* row index so clamped-block garbage and
+    wrap-around rows always multiply a zero mask."""
+    i = pl.program_id(0)
+    start = i * TH
+
+    def halo(m, c, p):
+        # m: 8-row block ending at start-1; p: 8-row block from start+TH
+        return jnp.concatenate([m[:, -1:, :], c[...], p[:, :2, :]], axis=1)
+
+    f32 = jnp.float32
+    R = TH + 3
+    rows = (start - 1) + jax.lax.broadcasted_iota(jnp.int32, (R, Wp), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R, Wp), 1)
+    in_rows = (rows >= P).astype(f32) * (rows < P + H).astype(f32)
+    in_cols = (cols >= 1).astype(f32) * (cols < 1 + W).astype(f32)
+    cellf = in_rows * in_cols
+    hedge = cellf * (cols < W).astype(f32)
+    vedge = cellf * (rows < P + H - 1).astype(f32)
+    parity = ((rows - P + cols - 1) % 2).astype(f32)  # 0 for black cells
+    black = cellf * (1.0 - parity)
+    red = cellf - black
+    deg = hedge + _shift_cols(hedge, 1) + vedge + _shift_rows(vedge, 1)
+
+    def color_mask(code):
+        if code == 1:
+            return black
+        if code == 2:
+            return red
+        return jnp.zeros_like(black)
+
+    recvm = color_mask(recv_color)
+    sendm = color_mask(send_color)
+    omega = sendm / jnp.maximum(deg + leave, 1.0)
+
+    u = halo(u_m, u_c, u_p)
+    hm1 = halo(hm1_m, hm1_c, hm1_p)
+    hm2 = halo(hm2_m, hm2_c, hm2_p)
+    vm1 = halo(vm1_m, vm1_c, vm1_p)
+    vm2 = halo(vm2_m, vm2_c, vm2_p)
+    hc = jnp.concatenate([hc_m[-1:, :], hc_c[...], hc_p[:2, :]], axis=0)
+    vc = jnp.concatenate([vc_m[-1:, :], vc_c[...], vc_p[:2, :]], axis=0)
+
+    e1 = _marg(hm1, hm2, hc)
+    e2 = _marg(hm2, hm1, hc)
+    v1 = _marg(vm1, vm2, vc)
+    v2 = _marg(vm2, vm1, vc)
+
+    mh1 = recvm * hedge
+    mh2 = _shift_cols(recvm, -1) * hedge
+    mv1 = recvm * vedge
+    mv2 = _shift_rows(recvm, -1) * vedge
+
+    uu = (u + e1 * mh1[None] + _shift_cols(e2 * mh2[None], 1)
+            + v1 * mv1[None] + _shift_rows(v2 * mv2[None], 1))
+    d = uu * omega[None]
+    resid = 1.0 - omega * deg
+
+    def center(x):
+        return x[:, 1:TH + 1]
+
+    u_out[...] = center(uu * resid[None] * cellf[None])
+    hm1_out[...] = center((hm1 - e1 * mh1[None] + d) * hedge[None])
+    hm2_out[...] = center((hm2 - e2 * mh2[None] + _shift_cols(d, -1)) * hedge[None])
+    vm1_out[...] = center((vm1 - v1 * mv1[None] + d) * vedge[None])
+    vm2_out[...] = center((vm2 - v2 * mv2[None] + _shift_rows(d, -1)) * vedge[None])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("geom", "phase_params", "interpret"))
+def phase_update_v2(state, hc, vc, *, geom, phase_params, interpret=False):
+    """One color-phase update without manual DMA (pipelined halo blocks).
+
+    phase_params: static (recv_color, send_color, leave) with color codes
+    0=none, 1=black, 2=red; omega = send_mask / (deg + leave).
+    state: dict u/hm1/hm2/vm1/vm2 of [L, Hp, Wp] f32 in mask form.
+    geom: (L, Hp, Wp, H, W, P, TH).
+    """
+    L, Hp, Wp, H, W, P, TH = geom
+    assert Hp % TH == 0 and TH % 8 == 0, "sublane tiling needs 8-row blocks"
+    recv_color, send_color, leave = phase_params
+    nblk = Hp // TH
+    nb8 = TH // 8
+    f32 = jnp.float32
+    kernel = functools.partial(
+        _phase_kernel_v2, L=L, Hp=Hp, Wp=Wp, H=H, W=W, P=P, TH=TH,
+        recv_color=recv_color, send_color=send_color, leave=leave)
+
+    # halo blocks are as small as TPU sublane tiling allows (8 rows): the
+    # 8-row block ending at start-1 (its last row is the halo row above) and
+    # the 8-row block at start+TH (its first two rows are the halo below);
+    # edge clamps feed garbage rows that the logical-row masks zero out.
+    def prev_map(i):
+        return (0, jnp.maximum(i * nb8 - 1, 0), 0)
+
+    def cent_map(i):
+        return (0, i, 0)
+
+    def next_map(i):
+        return (0, jnp.minimum((i + 1) * nb8, Hp // 8 - 1), 0)
+
+    def spec3(lead):
+        shapes = ((lead, 8, Wp), (lead, TH, Wp), (lead, 8, Wp)) if lead \
+            else ((8, Wp), (TH, Wp), (8, Wp))
+        maps = (prev_map, cent_map, next_map)
+        if lead:
+            return [pl.BlockSpec(sh, m) for sh, m in zip(shapes, maps)]
+        return [pl.BlockSpec(sh, lambda i, m=m: m(i)[1:])
+                for sh, m in zip(shapes, maps)]
+
+    # each array contributes (prev, cent, next) pipelined blocks
+    in_specs = (spec3(L) + spec3(L) + spec3(L) + spec3(L) + spec3(L)
+                + spec3(0) + spec3(0))
+    out_sds = [jax.ShapeDtypeStruct((L, Hp, Wp), f32)] * 5
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((L, TH, Wp), cent_map)] * 5,
+        out_shape=out_sds,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*(x for arr in (state["u"], state["hm1"], state["hm2"],
+                      state["vm1"], state["vm2"]) for x in (arr, arr, arr)),
+      hc, hc, hc, vc, vc, vc)
+    return {"u": outs[0], "hm1": outs[1], "hm2": outs[2],
+            "vm1": outs[3], "vm2": outs[4]}
+
+
 @functools.partial(jax.jit, static_argnames=("geom", "interpret"))
 def phase_update(params, state, hc, vc, *, geom, interpret=False):
     """One color-phase update.

@@ -46,11 +46,17 @@ def factor_updated_mask(n_factors: int, messages: Sequence[MessageDesc]) -> np.n
     """FactorUpdated() per factor: has any send/receive activity on its side
     (factors_messages.hxx:3125-3140)."""
     upd = np.zeros(n_factors, dtype=bool)
+    bits: dict[int, tuple[bool, bool]] = {}  # hoisted per schedule object
     for m in messages:
         s = m.schedule
-        if s.sends_to_right or s.left_receives:
+        b = bits.get(id(s))
+        if b is None:
+            b = (s.sends_to_right or s.left_receives,
+                 s.sends_to_left or s.right_receives)
+            bits[id(s)] = b
+        if b[0]:
             upd[m.left] = True
-        if s.sends_to_left or s.right_receives:
+        if b[1]:
             upd[m.right] = True
     return upd
 
@@ -371,6 +377,59 @@ def omega_valid(weights: Weights, n: int, messages: Sequence[MessageDesc]) -> bo
 # Phase decomposition
 # ---------------------------------------------------------------------------
 
+def adjacency_csr(n: int, messages: Sequence[MessageDesc]):
+    """Symmetric factor-adjacency CSR (indptr, indices) from messages."""
+    if len(messages) == 0:
+        return np.zeros(n + 1, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    l = np.fromiter((m.left for m in messages), dtype=np.int64,
+                    count=len(messages))
+    r = np.fromiter((m.right for m in messages), dtype=np.int64,
+                    count=len(messages))
+    return adjacency_csr_from_arrays(n, [(l, r)])
+
+
+def adjacency_csr_from_arrays(n: int, endpoint_arrays):
+    """CSR from [(left_fid[], right_fid[]), ...] per message type."""
+    if not endpoint_arrays:
+        return np.zeros(n + 1, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    l = np.concatenate([np.asarray(a, dtype=np.int64)
+                        for a, _ in endpoint_arrays])
+    r = np.concatenate([np.asarray(b, dtype=np.int64)
+                        for _, b in endpoint_arrays])
+    src = np.concatenate([l, r])
+    dst = np.concatenate([r, l])
+    order = np.argsort(src, kind="stable")
+    indices = dst[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    indptr[1:] = np.cumsum(np.bincount(src, minlength=n))
+    return indptr, indices
+
+
+def updated_mask_from_arrays(n: int, typed) -> np.ndarray:
+    """factor_updated_mask over [(schedule, left_fid[], right_fid[]), ...]
+    (one entry per message type — vectorized form)."""
+    upd = np.zeros(n, dtype=bool)
+    for s, l, r in typed:
+        if s.sends_to_right or s.left_receives:
+            upd[np.asarray(l, dtype=np.int64)] = True
+        if s.sends_to_left or s.right_receives:
+            upd[np.asarray(r, dtype=np.int64)] = True
+    return upd
+
+
+def _group_phases(order: Sequence[int], phase_of: np.ndarray,
+                  n_phases: int) -> list[list[int]]:
+    """Group scheduled factors into phase lists, preserving sweep order."""
+    order = np.asarray(order, dtype=np.int64)
+    sched_mask = phase_of[order] >= 0
+    fs = order[sched_mask]
+    ps = phase_of[fs]
+    sort = np.argsort(ps, kind="stable")  # stable keeps sweep order in phase
+    fs = fs[sort]
+    bounds = np.searchsorted(ps[sort], np.arange(1, n_phases))
+    return [list(g) for g in np.split(fs, bounds)]
+
+
 def levelize(order: Sequence[int], n: int, messages: Sequence[MessageDesc],
              updated: np.ndarray) -> list[list[int]]:
     """Partition the updated factors (in sweep order) into parallel phases.
@@ -381,22 +440,33 @@ def levelize(order: Sequence[int], n: int, messages: Sequence[MessageDesc],
     Running phases sequentially, each phase fully batched, is then exactly
     the sequential sweep (all cross-factor data dependencies respected;
     within a phase all touch-sets are disjoint).
+
+    The sequential graph walk runs natively (csrc/lpmp_host.cpp
+    lpmp_levelize) with a pure-Python fallback of identical semantics.
     """
-    adj: list[list[int]] = [[] for _ in range(n)]
-    for m in messages:
-        adj[m.left].append(m.right)
-        adj[m.right].append(m.left)
+    indptr, indices = adjacency_csr(n, messages)
+    return levelize_csr(order, n, indptr, indices, updated)
+
+
+def levelize_csr(order: Sequence[int], n: int, indptr, indices,
+                 updated: np.ndarray) -> list[list[int]]:
+    from . import native
+    res = native.levelize_csr(np.asarray(order, dtype=np.int64), indptr,
+                              indices, updated)
+    if res is not None:
+        phase_of, n_phases = res
+        return _group_phases(order, phase_of, n_phases)
 
     taken = np.full(n, -1, dtype=np.int64)  # max phase among earlier touches
     phases: list[list[int]] = []
     for f in order:
         if not updated[f]:
             continue
-        touch = adj[f] + [f]
+        touch = list(indices[indptr[f]:indptr[f + 1]]) + [f]
         p = int(max(taken[h] for h in touch)) + 1
         if p == len(phases):
             phases.append([])
-        phases[p].append(f)
+        phases[p].append(int(f))
         for h in touch:
             if taken[h] < p:
                 taken[h] = p
@@ -413,46 +483,56 @@ def coloring_order(n: int, messages: Sequence[MessageDesc],
     neighbor (so anisotropic weights see it "between" its endpoints, like
     the reference's interleaved factor relations).  For a grid MRF this
     reproduces a red/black schedule with 2 phases.
+
+    The distance-2 greedy coloring runs natively (csrc/lpmp_host.cpp
+    lpmp_color2) with a pure-Python fallback of identical semantics.
     """
-    adj: list[set[int]] = [set() for _ in range(n)]
-    for m in messages:
-        adj[m.left].add(m.right)
-        adj[m.right].add(m.left)
+    indptr, indices = adjacency_csr(n, messages)
+    return coloring_order_csr(n, indptr, indices, updated)
 
-    color = np.full(n, -1, dtype=np.int64)
-    for f in range(n):
-        if not updated[f]:
-            continue
-        used = set()
-        for h in list(adj[f]) + [f]:
-            for g in adj[h]:
-                if g != f and updated[g] and color[g] >= 0:
-                    used.add(int(color[g]))
-            if h != f and updated[h] and color[h] >= 0:
-                used.add(int(color[h]))
-        c = 0
-        while c in used:
-            c += 1
-        color[f] = c
 
-    upd_sorted = sorted((f for f in range(n) if updated[f]),
-                        key=lambda f: (color[f], f))
-    pos_of = {f: i for i, f in enumerate(upd_sorted)}
+def coloring_order_csr(n: int, indptr, indices,
+                       updated: np.ndarray) -> list[int]:
+    from . import native
+    color = native.color2_csr(indptr, indices, updated)
+    if color is None:
+        color = np.full(n, -1, dtype=np.int64)
+        for f in range(n):
+            if not updated[f]:
+                continue
+            used = set()
+            nbrs = indices[indptr[f]:indptr[f + 1]]
+            for h in nbrs:
+                if h != f and updated[h] and color[h] >= 0:
+                    used.add(int(color[h]))
+                for g in indices[indptr[h]:indptr[h + 1]]:
+                    if g != f and updated[g] and color[g] >= 0:
+                        used.add(int(color[g]))
+            c = 0
+            while c in used:
+                c += 1
+            color[f] = c
 
-    by_anchor: dict[int, list[int]] = {}
-    tail: list[int] = []
-    for f in range(n):
-        if updated[f]:
-            continue
-        anchors = [pos_of[g] for g in adj[f] if g in pos_of]
-        if anchors:
-            by_anchor.setdefault(min(anchors), []).append(f)
-        else:
-            tail.append(f)
+    updated = np.asarray(updated, dtype=bool)
+    upd = np.nonzero(updated)[0]
+    upd_sorted = upd[np.lexsort((upd, color[upd]))]
+    pos_of = np.full(n, -1, dtype=np.int64)
+    pos_of[upd_sorted] = np.arange(len(upd_sorted))
 
-    out: list[int] = []
-    for i, f in enumerate(upd_sorted):
-        out.append(f)
-        out.extend(by_anchor.get(i, ()))
-    out.extend(tail)
-    return out
+    # passive factors: anchor = earliest-ordered updated neighbor
+    passive = np.nonzero(~updated)[0]
+    # sort key per factor: (anchor position, passive?, factor id); updated
+    # factors anchor at their own position
+    key_pos = np.full(n, n + 1, dtype=np.int64)
+    key_pos[upd_sorted] = np.arange(len(upd_sorted))
+    if len(passive):
+        deg = indptr[1:] - indptr[:-1]
+        nbr_pos = np.where(pos_of[indices] >= 0, pos_of[indices], n + 1)
+        mins = np.minimum.reduceat(
+            np.concatenate([nbr_pos, [n + 1]]),
+            np.minimum(indptr[:-1], len(indices)))
+        mins = np.where(deg > 0, mins, n + 1)
+        key_pos[passive] = mins[passive]
+    is_passive = (~updated).astype(np.int64)
+    order = np.lexsort((np.arange(n), is_passive, key_pos))
+    return [int(f) for f in order]

@@ -95,3 +95,22 @@ def test_phase_kernel_matches_reference(H, W, L, TH):
             err = np.abs(np.asarray(outp[k]) - np.asarray(outx[k])).max()
             assert err < 1e-5, (H, W, L, TH, rc, sc, lv, k, err)
         state = outp  # chain phases so later checks start from rich state
+
+
+@pytest.mark.parametrize("mode", ["anisotropic", "uniform", "damped_uniform"])
+def test_run_fast_pallas_parity(mode):
+    """run_fast(kernel='pallas') == run_fast(kernel='xla'): same fused
+    schedule, same coordinate updates, through the production model API
+    (interpret mode here; hardware execution measured by bench.py)."""
+    from lp_mp_tpu.models.grid_potts import GridPottsModel, random_grid
+
+    u, hc, vc = random_grid(9, 11, 3, seed=42)
+    a = GridPottsModel(u, hc, vc, dtype=np.float32)
+    b = GridPottsModel(u, hc, vc, dtype=np.float32)
+    a.run_fast(3, mode=mode)
+    b.run_fast(3, mode=mode, kernel="pallas", interpret=True)
+    for k in a.state:
+        np.testing.assert_allclose(np.asarray(a.state[k]),
+                                   np.asarray(b.state[k]),
+                                   atol=5e-5, err_msg=f"{k} mode={mode}")
+    assert abs(a.lower_bound() - b.lower_bound()) < 1e-3
