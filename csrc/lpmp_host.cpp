@@ -149,49 +149,58 @@ static int uf_find(std::vector<int>& p, int x) {
 }
 
 // Greedy additive edge contraction for multicut.  Edge costs are PAID when
-// cut; contract the most positive aggregate edges first.  Writes contiguous
-// component labels into out_labels[n].
+// cut; contract the most positive aggregate edges first.  O(E log E)-ish:
+// per-component adjacency hash maps merged smaller-into-larger, a single
+// lazy-deletion max-heap (stale entries detected by comparing the stored
+// weight against the live adjacency), no global rebuilds.  Writes
+// contiguous component labels into out_labels[n].
 void lpmp_gaec(int n, int m, const int64_t* us, const int64_t* vs,
                const double* ws, int64_t* out_labels) {
   std::vector<int> parent(n);
   for (int i = 0; i < n; ++i) parent[i] = i;
 
-  // aggregate parallel edges by component pair in a hash-ish map via sorting
-  struct E { int u, v; double w; };
-  auto key = [](int a, int b) { return (static_cast<int64_t>(std::min(a, b)) << 32) |
-                                       static_cast<uint32_t>(std::max(a, b)); };
-  std::unordered_map<int64_t, double> acc;
-  acc.reserve(m * 2);
+  std::vector<int> deg(n, 0);
+  for (int e = 0; e < m; ++e) {
+    if (us[e] == vs[e]) continue;
+    ++deg[us[e]];
+    ++deg[vs[e]];
+  }
+  std::vector<std::unordered_map<int, double>> adj(n);
+  for (int i = 0; i < n; ++i)
+    if (deg[i]) { adj[i].max_load_factor(0.7f); adj[i].reserve(deg[i]); }
   for (int e = 0; e < m; ++e) {
     int a = static_cast<int>(us[e]), b = static_cast<int>(vs[e]);
     if (a == b) continue;
-    acc[key(a, b)] += ws[e];
+    adj[a][b] += ws[e];
+    adj[b][a] += ws[e];
   }
-  using QE = std::pair<double, int64_t>;
-  std::priority_queue<QE> pq;
-  for (auto& [k, w] : acc) if (w > 0) pq.push({w, k});
+  struct QE { double w; int a, b; };
+  struct Cmp { bool operator()(const QE& x, const QE& y) const { return x.w < y.w; } };
+  std::priority_queue<QE, std::vector<QE>, Cmp> pq;
+  for (int a = 0; a < n; ++a)
+    for (auto& [b, w] : adj[a])
+      if (a < b && w > 0) pq.push({w, a, b});
 
   while (!pq.empty()) {
-    auto [w, k] = pq.top(); pq.pop();
-    int a = static_cast<int>(k >> 32), b = static_cast<int>(k & 0xffffffff);
-    auto it = acc.find(k);
-    if (it == acc.end() || it->second != w || w <= 0) continue;  // stale
-    int ra = uf_find(parent, a), rb = uf_find(parent, b);
-    if (ra == rb) continue;
-    parent[rb] = ra;
-    // rebuild aggregate weights for the merged component
-    std::unordered_map<int64_t, double> next;
-    next.reserve(acc.size());
-    for (auto& [kk, ww] : acc) {
-      int x = uf_find(parent, static_cast<int>(kk >> 32));
-      int y = uf_find(parent, static_cast<int>(kk & 0xffffffff));
-      if (x == y) continue;
-      next[key(x, y)] += ww;
+    auto [w, a, b] = pq.top(); pq.pop();
+    if (w <= 0) break;
+    // stale if either endpoint was merged away or the weight changed
+    if (parent[a] != a || parent[b] != b) continue;
+    auto it = adj[a].find(b);
+    if (it == adj[a].end() || it->second != w) continue;
+    // merge smaller adjacency into larger
+    if (adj[a].size() < adj[b].size()) std::swap(a, b);
+    parent[b] = a;
+    adj[a].erase(b);
+    adj[b].erase(a);
+    for (auto& [c, wc] : adj[b]) {
+      adj[c].erase(b);
+      double& wn = adj[a][c];
+      wn += wc;
+      adj[c][a] = wn;
+      if (wn > 0) pq.push({wn, std::min(a, c), std::max(a, c)});
     }
-    acc.swap(next);
-    // refresh heap lazily
-    while (!pq.empty()) pq.pop();
-    for (auto& [kk, ww] : acc) if (ww > 0) pq.push({ww, kk});
+    std::unordered_map<int, double>().swap(adj[b]);
   }
   // contiguous ids
   std::vector<int64_t> id(n, -1);

@@ -89,5 +89,61 @@ class MulticutTripletType(FactorType):
         return costs["c"]
 
 
+def _k4_cut_patterns() -> np.ndarray:
+    """All non-trivial cut vectors of K4: one row per partition of 4 nodes
+    (minus the single-block partition), columns ordered
+    (01, 02, 03, 12, 13, 23).  14 rows."""
+    import itertools
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    seen = set()
+    for lbl in itertools.product(range(4), repeat=4):
+        bits = tuple(int(lbl[i] != lbl[j]) for i, j in edges)
+        if any(bits):
+            seen.add(bits)
+    return np.array(sorted(seen), dtype=np.int32)
+
+
+# rows: valid cut patterns of the K4 wheel (center + 3-cycle); the implicit
+# all-uncut pattern is the zero entry, as in the triplet factor
+ODD_WHEEL_PATTERNS = _k4_cut_patterns()
+
+
+class MulticutOddWheelType(FactorType):
+    """Odd-3-wheel (K4) factor: exact min over the 15 partitions of its 4
+    nodes.  Downstream ``multicut_odd_3_wheel_factor`` analogue — the
+    tightening stage beyond cycle inequalities (odd wheel inequalities are
+    facets of the multicut polytope that the cycle relaxation misses; a K4
+    with a fractional triangle-LP vertex is the canonical witness)."""
+
+    name = "multicut_odd_wheel"
+
+    def build(self, instances):
+        c = np.zeros((len(list(instances)), ODD_WHEEL_PATTERNS.shape[0]),
+                     dtype=real_dtype())
+        return {"c": c}
+
+    def lower_bound(self, costs):
+        return jnp.minimum(jnp.min(costs["c"], axis=1), 0.0)
+
+    def init_primal(self, costs):
+        F = costs["c"].shape[0]
+        return {f"e{s}": jnp.full(F, -1, jnp.int32) for s in range(1, 7)}
+
+    def evaluate_primal(self, costs, primal):
+        c = costs["c"]
+        e = jnp.stack([primal[f"e{s}"] for s in range(1, 7)], axis=1)  # [F,6]
+        pats = jnp.asarray(ODD_WHEEL_PATTERNS)
+        match = jnp.all(e[:, None, :] == pats[None], axis=2)           # [F,14]
+        is_zero = jnp.all(e == 0, axis=1)
+        valid = jnp.all(e >= 0, axis=1) & (is_zero | jnp.any(match, axis=1))
+        val = jnp.where(is_zero, 0.0,
+                        jnp.sum(jnp.where(match, c, jnp.zeros_like(c)), axis=1))
+        return jnp.where(valid, val, jnp.inf)
+
+    def dual_vector(self, costs):
+        return costs["c"]
+
+
 MULTICUT_EDGE = MulticutEdgeType()
 MULTICUT_TRIPLET = MulticutTripletType()
+MULTICUT_ODD_WHEEL = MulticutOddWheelType()

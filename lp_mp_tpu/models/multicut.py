@@ -21,11 +21,13 @@ import heapq
 
 import numpy as np
 
-from ..factors.multicut import MULTICUT_EDGE, MULTICUT_TRIPLET
+from ..factors.multicut import (MULTICUT_EDGE, MULTICUT_ODD_WHEEL,
+                                MULTICUT_TRIPLET, ODD_WHEEL_PATTERNS)
 from ..graph import FactorGraph, FactorRef
 from ..messages.multicut import (MULTICUT_EDGE_TRIPLET_0,
                                  MULTICUT_EDGE_TRIPLET_1,
-                                 MULTICUT_EDGE_TRIPLET_2)
+                                 MULTICUT_EDGE_TRIPLET_2,
+                                 MULTICUT_EDGE_WHEEL)
 from ..utils.graphs import Graph, bfs_path
 from ..utils.union_find import UnionFind
 
@@ -39,6 +41,7 @@ class MulticutConstructor:
         self.edges: dict[tuple[int, int], FactorRef] = {}
         self.edge_cost: dict[tuple[int, int], float] = {}
         self.triplets: dict[tuple[int, int, int], FactorRef] = {}
+        self.odd_wheels: dict[tuple[int, int, int, int], FactorRef] = {}
         self.n_nodes = 0
         self._prev_edge: "FactorRef | None" = None
 
@@ -72,14 +75,120 @@ class MulticutConstructor:
         self.triplets[key] = t
         return t
 
+    # K4 edge slot order of the odd-3-wheel factor
+    _WHEEL_SLOTS = ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+
+    def add_odd_3_wheel(self, a: int, b: int, c: int, d: int) -> FactorRef:
+        """Odd-3-wheel (K4) factor over 4 nodes with its 6 edge messages
+        (missing edges are created with zero cost, like add_triplet)."""
+        nodes = tuple(sorted((a, b, c, d)))
+        assert len(set(nodes)) == 4
+        if nodes in self.odd_wheels:
+            return self.odd_wheels[nodes]
+        w = self.graph.add_factor(MULTICUT_ODD_WHEEL, None)
+        for slot, (i, j) in enumerate(self._WHEEL_SLOTS):
+            key = (nodes[i], nodes[j])
+            if key not in self.edges:
+                self.add_edge(*key, 0.0)
+            e = self.edges[key]
+            self.graph.add_message(MULTICUT_EDGE_WHEEL[slot], e, w)
+            self.graph.add_factor_relation(e, w)
+        self.odd_wheels[nodes] = w
+        return w
+
     # ------------------------------------------------------------------
     def _reparametrized_edge_costs(self, engine) -> dict[tuple[int, int], float]:
         c = np.asarray(engine.state[MULTICUT_EDGE.name]["c"])
-        return {key: float(c[engine.f_local[ref.fid]])
+        n_known = len(engine.f_local)
+        # edges created later in the same tighten round (triangulation
+        # chords) are not in the engine yet; their reparametrized cost is
+        # their original (zero) cost
+        return {key: (float(c[engine.f_local[ref.fid]])
+                      if ref.fid < n_known else self.edge_cost[key])
                 for key, ref in self.edges.items()}
 
+    def _reparametrized_triplet_costs(self, engine):
+        # triplets added by cycle separation in THIS tighten round are not
+        # yet part of the engine (it is rebuilt afterwards) — skip them
+        if MULTICUT_TRIPLET.name not in engine.state:
+            return {}
+        c = np.asarray(engine.state[MULTICUT_TRIPLET.name]["c"])
+        n_known = len(engine.f_local)
+        return {key: c[engine.f_local[ref.fid]]
+                for key, ref in self.triplets.items() if ref.fid < n_known}
+
+    def tighten_odd_wheels(self, engine, max_constraints: int,
+                           eps: float = 1e-8) -> int:
+        """Odd-3-wheel separation: for 4-node candidates around existing
+        triplets, the guaranteed dual improvement of adding the K4 factor is
+        (exact min over the 15 partitions of the combined edge+triplet
+        reparametrization) - (sum of the local bounds).  Candidates with
+        positive gain are added best-first — the stage beyond cycle
+        inequalities (downstream odd-wheel tightening surface)."""
+        if max_constraints <= 0:
+            return 0
+        ecosts = self._reparametrized_edge_costs(engine)
+        tcosts = self._reparametrized_triplet_costs(engine)
+        from ..factors.multicut import TRIPLET_PATTERNS
+        # candidate K4s: an existing triplet plus a node connected to >=2
+        # of its corners
+        adj: dict[int, set[int]] = {}
+        for (i, j) in ecosts:
+            adj.setdefault(i, set()).add(j)
+            adj.setdefault(j, set()).add(i)
+        cands: set[tuple[int, int, int, int]] = set()
+        for (i, j, k) in self.triplets:
+            near: dict[int, int] = {}
+            for v in (i, j, k):
+                for u in adj.get(v, ()):
+                    if u not in (i, j, k):
+                        near[u] = near.get(u, 0) + 1
+            for u, cnt in near.items():
+                if cnt >= 2:
+                    cands.add(tuple(sorted((i, j, k, u))))
+        scored = []
+        for nodes in cands:
+            if nodes in self.odd_wheels:
+                continue
+            ec = np.array([ecosts.get((nodes[i], nodes[j]), 0.0)
+                           for i, j in self._WHEEL_SLOTS])
+            local = np.minimum(ec, 0.0).sum()
+            # exact bound over the 15 partitions (14 patterns + all-uncut)
+            pat = ODD_WHEEL_PATTERNS.astype(np.float64)       # [14, 6]
+            vals = pat @ ec
+            # add existing triplet contributions per pattern
+            tri_corners = ((0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3))
+            slot_of = {e: s for s, e in enumerate(self._WHEEL_SLOTS)}
+            for corners in tri_corners:
+                key = tuple(sorted(nodes[c] for c in corners))
+                tc = tcosts.get(key)
+                if tc is None:
+                    continue
+                local += min(0.0, tc.min())
+                pairs = [(corners[0], corners[1]), (corners[0], corners[2]),
+                         (corners[1], corners[2])]
+                bits = pat[:, [slot_of[p] for p in pairs]].astype(np.int32)
+                add = np.zeros(len(pat))
+                for r in range(len(pat)):
+                    if bits[r].any():
+                        row = np.nonzero((TRIPLET_PATTERNS == bits[r])
+                                         .all(axis=1))[0][0]
+                        add[r] = tc[row]
+                vals = vals + add
+            exact = min(0.0, vals.min())
+            gain = exact - local
+            if gain > eps:
+                scored.append((gain, nodes))
+        scored.sort(key=lambda x: -x[0])
+        added = 0
+        for gain, nodes in scored[:max_constraints]:
+            self.add_odd_3_wheel(*nodes)
+            added += 1
+        return added
+
     def tighten(self, engine, max_constraints: int, eps: float = 1e-8) -> int:
-        """Violated-cycle separation + fan triangulation."""
+        """Violated-cycle separation + fan triangulation; once cycles dry
+        up, odd-3-wheel separation takes over with the remaining budget."""
         if max_constraints <= 0:
             return 0
         costs = self._reparametrized_edge_costs(engine)
@@ -107,6 +216,9 @@ class MulticutConstructor:
                     new += 1
             if new:
                 added += 1
+        if added < max_constraints:
+            added += self.tighten_odd_wheels(engine, max_constraints - added,
+                                             eps)
         return added
 
     # ------------------------------------------------------------------
@@ -123,44 +235,51 @@ class MulticutConstructor:
                 cut = {e: int(labels[e[0]] != labels[e[1]]) for e in self.edges}
                 cost = sum(self.edge_cost[e] * cut[e] for e in self.edges)
                 return labels, cut, cost
-        uf = UnionFind(self.n_nodes)
-        # contract most attractive (negative-cost means prefers cut; merge
-        # edges with strongly NEGATIVE... multicut convention here: cost is
-        # PAID when the edge is cut, so merging avoids paying positive cuts:
-        # greedily contract the most positive edges.
-        acc: dict[tuple[int, int], float] = dict(self.edge_cost)
-        heap = [(-w, e) for e, w in acc.items() if w > 0]
+        # Cost is PAID when the edge is cut, so merging avoids paying
+        # positive cuts: greedily contract the most positive aggregate edge.
+        # Incremental lazy-deletion heap + per-component adjacency dicts
+        # merged smaller-into-larger — O(E log E), no global rebuilds
+        # (mirrors csrc/lpmp_host.cpp lpmp_gaec).
+        parent = list(range(self.n_nodes))
+        adj: list[dict[int, float]] = [dict() for _ in range(self.n_nodes)]
+        for (a, b), w in self.edge_cost.items():
+            adj[a][b] = adj[a].get(b, 0.0) + w
+            adj[b][a] = adj[b].get(a, 0.0) + w
+        heap = [(-w, a, b) for a in range(self.n_nodes)
+                for b, w in adj[a].items() if a < b and w > 0]
         heapq.heapify(heap)
-        alive = {e: w for e, w in acc.items()}
         while heap:
-            negw, (i, j) = heapq.heappop(heap)
+            negw, a, b = heapq.heappop(heap)
             w = -negw
-            if alive.get((i, j)) != w or w <= 0:
-                continue
-            ri, rj = uf.find(i), uf.find(j)
-            if ri == rj:
-                continue
-            uf.merge(i, j)
-            # merge parallel edges
-            merged: dict[tuple[int, int], float] = {}
-            for (a, b), wv in list(alive.items()):
-                ra, rb = uf.find(a), uf.find(b)
-                if ra == rb:
-                    alive.pop((a, b), None)
-                    continue
-            # rebuild contracted weights lazily: accumulate by component pair
-            comp: dict[tuple[int, int], float] = {}
-            for (a, b), wv in alive.items():
-                ra, rb = uf.find(a), uf.find(b)
-                key = (min(ra, rb), max(ra, rb))
-                comp[key] = comp.get(key, 0.0) + wv
-            alive = {}
-            heap = []
-            for key, wv in comp.items():
-                alive[key] = wv
-                if wv > 0:
-                    heapq.heappush(heap, (-wv, key))
-        labels = uf.get_contiguous_ids()
+            if w <= 0:
+                break
+            if parent[a] != a or parent[b] != b or adj[a].get(b) != w:
+                continue   # stale entry
+            if len(adj[a]) < len(adj[b]):
+                a, b = b, a
+            parent[b] = a
+            adj[a].pop(b, None)
+            adj[b].pop(a, None)
+            for c, wc in adj[b].items():
+                adj[c].pop(b, None)
+                wn = adj[a].get(c, 0.0) + wc
+                adj[a][c] = wn
+                adj[c][a] = wn
+                if wn > 0:
+                    heapq.heappush(heap, (-wn, min(a, c), max(a, c)))
+            adj[b] = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        ids: dict[int, int] = {}
+        labels = np.empty(self.n_nodes, dtype=np.int64)
+        for i in range(self.n_nodes):
+            r = find(i)
+            labels[i] = ids.setdefault(r, len(ids))
         cut = {e: int(labels[e[0]] != labels[e[1]]) for e in self.edges}
         cost = sum(self.edge_cost[e] * cut[e] for e in self.edges)
         return labels, cut, cost
@@ -201,4 +320,13 @@ class MulticutConstructor:
                 es[3][row] = cut[(j, k)]
             prim[MULTICUT_TRIPLET.name] = {f"e{s}": jnp.asarray(es[s])
                                            for s in (1, 2, 3)}
+        if MULTICUT_ODD_WHEEL.name in prim:
+            W = prim[MULTICUT_ODD_WHEEL.name]["e1"].shape[0]
+            es = {s: np.zeros(W, np.int32) for s in range(1, 7)}
+            for nodes, ref in self.odd_wheels.items():
+                row = engine.f_local[ref.fid]
+                for slot, (i, j) in enumerate(self._WHEEL_SLOTS):
+                    es[slot + 1][row] = cut[(nodes[i], nodes[j])]
+            prim[MULTICUT_ODD_WHEEL.name] = {f"e{s}": jnp.asarray(es[s])
+                                             for s in range(1, 7)}
         return prim
