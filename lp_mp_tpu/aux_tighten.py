@@ -1,0 +1,219 @@
+"""Incremental tightening: bucketed auxiliary triplet pass.
+
+The reference mutates its LP in place when tightening adds triplet factors
+(Solver::Tighten, solver.hxx:192-212); under XLA a graph rebuild means a
+re-jit of every pass.  This module absorbs the common tightening shape —
+ternary simplex factors coupled to *existing* dense pairwise factors
+(MrfConstructor.add_tightening_triplet) — into a side pass whose compiled
+function takes every changing quantity (pairwise row indices, active-row
+weights) as ARGUMENTS in size-doubled buckets:
+
+- adding triplets within capacity re-uses the jitted update unchanged
+  (same shapes -> XLA cache hit, zero recompiles);
+- capacity overflow doubles the bucket (one small re-jit, amortized
+  logarithmically — SURVEY §7 "preallocate padded buckets, recompile only
+  on bucket growth");
+- anything else (new pairwise chord factors, other factor types) falls
+  back to the full engine rebuild, after which the absorbed rows are
+  folded into the rebuilt engine.
+
+The pass itself is one MPLP-style block-coordinate step per iteration:
+each triplet receives the full reparametrized matrices of its three
+pairwise factors and returns the three min-marginals with weight 1/3 —
+the same fixed point as the integrated schedule (the triplet cluster
+update of cycle_inequalities.hxx / Sontag et al.), run after the engine's
+unary/pairwise sweep.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import PAD_COST, real_dtype
+from .factors.simplex import PAIRWISE_SIMPLEX, TERNARY_SIMPLEX
+from .messages.pairwise_triplet import (PAIRWISE_TRIPLET_12,
+                                        PAIRWISE_TRIPLET_13,
+                                        PAIRWISE_TRIPLET_23)
+
+_SLOTS = (PAIRWISE_TRIPLET_12, PAIRWISE_TRIPLET_13, PAIRWISE_TRIPLET_23)
+_MIN_CAP = 8
+
+
+class AuxTripletPass:
+    """Side block of tightening triplets over an engine's pairwise block."""
+
+    def __init__(self):
+        self.cap = 0
+        self.n = 0
+        self.c = None               # [cap, L1, L2, L3] triplet duals
+        self.lidx = None            # [3, cap] pairwise rows (0 on inactive)
+        self.active = None          # [cap] float mask
+        self.w_recv = None          # [3, cap] receive weights (1/#sharers)
+        self.fids: list[int] = []   # graph factor ids of absorbed triplets
+        self._dims = None
+        self._update = jax.jit(self._update_impl)
+        self._lb = jax.jit(lambda c, m: jnp.sum(
+            jnp.minimum(jnp.min(c, axis=(1, 2, 3)), 0.0) * m))
+
+    def __bool__(self):
+        return self.n > 0
+
+    # ------------------------------------------------------------------
+    def add(self, engine, fid: int, data: np.ndarray,
+            pairwise_rows: tuple[int, int, int]) -> None:
+        """Absorb one ternary factor with its three pairwise endpoints
+        (rows into the engine's dense pairwise block, slot order 12/13/23)."""
+        dims = tuple(data.shape)
+        if self._dims is None:
+            # label capacity = the engine's padded pairwise width (chords of
+            # bigger label counts would not be absorbable anyway)
+            Lp = engine.state[PAIRWISE_SIMPLEX.name]["c"].shape[1:]
+            self._dims = (max(dims[0], Lp[0]), max(dims[1], Lp[1]),
+                          max(dims[2], Lp[0], Lp[1]))
+        dims_cap = self._dims
+        assert all(d <= dc for d, dc in zip(dims, dims_cap))
+        if self.n == self.cap:
+            self._grow(max(_MIN_CAP, 2 * self.cap))
+        row = self.n
+        block = np.full(dims_cap, PAD_COST, dtype=real_dtype())
+        block[:dims[0], :dims[1], :dims[2]] = data
+        self.c = self.c.at[row].set(jnp.asarray(block))
+        self.lidx = self.lidx.at[:, row].set(jnp.asarray(pairwise_rows))
+        self.active = self.active.at[row].set(1.0)
+        self.fids.append(fid)
+        self.n += 1
+        # receive weight 1/k per message, k = #triplet slots pulling from the
+        # same pairwise row: the batched receive splits the marginal evenly,
+        # draining the pairwise exactly once (monotone: min is superadditive)
+        li = np.asarray(self.lidx)[:, :self.n]
+        cnt = np.bincount(li.reshape(-1),
+                          minlength=int(li.max(initial=0)) + 1)
+        w = np.zeros((3, self.cap), dtype=np.asarray(self.active).dtype)
+        w[:, :self.n] = 1.0 / cnt[li]
+        self.w_recv = jnp.asarray(w)
+
+    def _grow(self, new_cap: int) -> None:
+        dt = real_dtype()
+        c = jnp.full((new_cap,) + self._dims, PAD_COST, dtype=dt)
+        lidx = jnp.zeros((3, new_cap), dtype=jnp.int32)
+        active = jnp.zeros(new_cap, dtype=dt)
+        if self.cap:
+            c = c.at[:self.cap].set(self.c)
+            lidx = lidx.at[:, :self.cap].set(self.lidx)
+            active = active.at[:self.cap].set(self.active)
+        self.c, self.lidx, self.active, self.cap = c, lidx, active, new_cap
+
+    # ------------------------------------------------------------------
+    def _update_impl(self, pw_c, c, lidx, active, w_recv):
+        """One triplet cluster update: receive the pairwise matrices (split
+        1/k between triplets sharing a factor), send back 1/3 min-marginals.
+        Inactive rows carry weight 0 and point at pairwise row 0 — a no-op
+        lane."""
+        w = active
+        # receives: deltas from the pre-update pairwise state
+        deltas = []
+        for s, mt in enumerate(_SLOTS):
+            d = mt.marginal_left({"c": pw_c[lidx[s]]}, {})
+            deltas.append(d * w_recv[s][:, None, None])
+        for s, mt in enumerate(_SLOTS):
+            pw = mt.repam_left({"c": pw_c}, lidx[s], -deltas[s], {})
+            pw_c = pw["c"]
+            tr = mt.repam_right({"c": c}, jnp.arange(c.shape[0]), deltas[s], {})
+            c = tr["c"]
+        # sends: 1/3 of each min-marginal, from one post-receive snapshot
+        snap = c
+        for s, mt in enumerate(_SLOTS):
+            d = mt.marginal_right({"c": snap}, {}) * (w / 3.0)[:, None, None]
+            tr = mt.repam_right({"c": c}, jnp.arange(c.shape[0]), -d, {})
+            c = tr["c"]
+            pw = mt.repam_left({"c": pw_c}, lidx[s], d, {})
+            pw_c = pw["c"]
+        return pw_c, c
+
+    def run(self, engine) -> None:
+        if not self.n:
+            return
+        pw = engine.state[PAIRWISE_SIMPLEX.name]
+        new_pw_c, self.c = self._update(pw["c"], self.c, self.lidx,
+                                        self.active, self.w_recv)
+        engine.state[PAIRWISE_SIMPLEX.name] = {**pw, "c": new_pw_c}
+
+    # ------------------------------------------------------------------
+    def lower_bound(self) -> float:
+        if not self.n:
+            return 0.0
+        return float(self._lb(self.c, self.active))
+
+    def evaluate_primal(self, engine, prim) -> float:
+        """Triplet primal by propagation from the pairwise labels; returns
+        the triplets' cost, +inf if any active triplet is inconsistent."""
+        if not self.n:
+            return 0.0
+        pw_prim = prim[PAIRWISE_SIMPLEX.name]
+        tp = TERNARY_SIMPLEX.init_primal({"c": self.c})
+        ridx = jnp.arange(self.cap)
+        for s, mt in enumerate(_SLOTS):
+            tp = mt.propagate_primal_l2r(pw_prim, tp, self.lidx[s], ridx, {})
+        act = self.active > 0
+        ok = True
+        for s, mt in enumerate(_SLOTS):
+            cons = mt.consistent(pw_prim, tp, self.lidx[s], ridx, {})
+            ok = ok & jnp.all(jnp.where(act, cons, True))
+        val = TERNARY_SIMPLEX.evaluate_primal({"c": self.c}, tp)
+        total = jnp.sum(jnp.where(act, val, 0.0))
+        return float(jnp.where(ok, total, jnp.inf))
+
+    # ------------------------------------------------------------------
+    def fold_into(self, engine) -> None:
+        """After a full rebuild, write absorbed triplet duals into the
+        engine's ternary block and reset this pass."""
+        if not self.n:
+            return
+        name = TERNARY_SIMPLEX.name
+        block = dict(engine.state[name])
+        rows = engine.f_local[np.asarray(self.fids)]
+        tgt = block["c"]
+        src = self.c[:self.n]
+        if src.shape[1:] != tgt.shape[1:]:
+            sl = tuple(slice(0, min(a, b))
+                       for a, b in zip(src.shape[1:], tgt.shape[1:]))
+            sub = tgt[rows]
+            sub = sub.at[(slice(None),) + sl].set(src[(slice(None),) + sl])
+            tgt = tgt.at[rows].set(sub)
+        else:
+            tgt = tgt.at[rows].set(src)
+        block["c"] = tgt
+        engine.state[name] = block
+        self.cap = self.n = 0
+        self.c = self.lidx = self.active = self.w_recv = None
+        self.fids = []
+        self._dims = None
+
+
+def absorbable(graph, engine, n0: int, m0: int) -> "list | None":
+    """If every factor/message added past (n0, m0) is a ternary simplex
+    coupled to EXISTING dense pairwise factors, return the absorption list
+    [(fid, data, (row12, row13, row23))]; else None (full rebuild)."""
+    new_f = list(range(n0, graph.n_factors))
+    if not new_f:
+        return None
+    for fid in new_f:
+        if graph.factors[fid][0] is not TERNARY_SIMPLEX:
+            return None
+    slots_of: dict[int, dict[int, int]] = {fid: {} for fid in new_f}
+    slot_id = {m.name: s for s, m in enumerate(_SLOTS)}
+    for mt, l, r, _ in graph.messages[m0:]:
+        if mt.name not in slot_id or r not in slots_of or l >= len(engine.f_local):
+            return None
+        if graph.factors[l][0] is not PAIRWISE_SIMPLEX:
+            return None
+        slots_of[r][slot_id[mt.name]] = int(engine.f_local[l])
+    out = []
+    for fid in new_f:
+        if sorted(slots_of[fid]) != [0, 1, 2]:
+            return None
+        _, data = graph.factors[fid]
+        out.append((fid, np.asarray(data, dtype=np.float64),
+                    tuple(slots_of[fid][s] for s in range(3))))
+    return out

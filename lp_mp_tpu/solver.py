@@ -44,6 +44,11 @@ class Solver:
         self.lower_bound_: float = float("-inf")
         self.best_primal_cost: float = float("inf")
         self.best_primal: Any = None
+        # incremental tightening (aux_tighten): absorbable triplet additions
+        # go into a bucketed side pass instead of a full engine rebuild
+        from .aux_tighten import AuxTripletPass
+        self.aux = AuxTripletPass()
+        self.n_engine_builds = 0
 
     def add_constructor(self, ctor_cls, **kwargs):
         """GetProblemConstructor analogue (solver.hxx:111-118)."""
@@ -58,6 +63,7 @@ class Solver:
                              use_jit=self.use_jit,
                              update_mode=self.reparametrization_type,
                              inner_iteration=self.inner_iteration)
+        self.n_engine_builds += 1
         if old is not None:
             # carry reparametrized duals over: old rows are a prefix of the
             # new blocks and old padded lanes stay padded
@@ -66,6 +72,8 @@ class Solver:
                 for k, v in block.items():
                     sl = tuple(slice(0, s) for s in v.shape)
                     new_block[k] = new_block[k].at[sl].set(v)
+        # absorbed triplet duals become regular engine rows again
+        self.aux.fold_into(self.engine)
         return self.engine
 
     # ------------------------------------------------------------------
@@ -78,19 +86,33 @@ class Solver:
                     not c.check_primal_consistency(self.engine, prim):
                 return float("inf")
         cost = self.engine.evaluate_primal(prim)
+        if self.aux:
+            cost += self.aux.evaluate_primal(self.engine, prim)
         if cost < self.best_primal_cost:
             self.best_primal_cost = cost
             self.best_primal = prim
         return cost
 
     def tighten(self, max_constraints: int) -> int:
-        """Fan out to constructors implementing tighten() (solver.hxx:192-212)."""
+        """Fan out to constructors implementing tighten() (solver.hxx:192-212).
+
+        Additions that are ternary factors on existing dense pairwise
+        factors are absorbed into the bucketed aux pass — no recompile
+        (SURVEY §7 preallocated-bucket plan); anything else (new chord
+        pairwise factors, other types) triggers a full engine rebuild."""
+        n0, m0 = self.graph.n_factors, len(self.graph.messages)
         added = 0
         for c in self.constructors:
             if hasattr(c, "tighten"):
                 added += c.tighten(self.engine, max_constraints - added)
         if added:
-            self.build_engine()
+            from .aux_tighten import absorbable
+            items = absorbable(self.graph, self.engine, n0, m0)
+            if items is not None:
+                for fid, data, rows in items:
+                    self.aux.add(self.engine, fid, data, rows)
+            else:
+                self.build_engine()
         return added
 
     # ------------------------------------------------------------------
@@ -111,6 +133,10 @@ class Solver:
                 for ctor in self.constructors:
                     if hasattr(ctor, "compute_primal"):
                         self.register_primal(ctor.compute_primal(self.engine))
+                if self.exact_rounding and self.aux:
+                    # the exact oracles walk the full factor graph: fold the
+                    # absorbed triplets back into a rebuilt engine first
+                    self.build_engine()
                 if self.exact_rounding == "ilp":
                     from .io.ilp import ilp_round
                     p, _ = ilp_round(self.engine)
@@ -123,14 +149,17 @@ class Solver:
                         self.register_primal(p)
             else:
                 self.engine.compute_pass(c.repam)
+            if self.aux:
+                self.aux.run(self.engine)
             # PostIterate (solver.hxx:277-287)
             if c.compute_lower_bound:
-                self.lower_bound_ = self.engine.lower_bound()
+                self.lower_bound_ = self.engine.lower_bound() \
+                    + self.aux.lower_bound()
             if c.tighten:
                 self.tighten(c.tighten_constraints)
             c = self.visitor.visit(c, self.lower_bound_, self.best_primal_cost)
 
-        self.lower_bound_ = self.engine.lower_bound()
+        self.lower_bound_ = self.engine.lower_bound() + self.aux.lower_bound()
         self.visitor.end(self.lower_bound_, self.best_primal_cost)
         return self.lower_bound_
 
