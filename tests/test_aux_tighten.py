@@ -16,9 +16,10 @@ def _frustrated_grid(mrf, H, W, rng):
     frustrated triangles once diagonal chords exist, but we only tighten
     triangles of existing pairwise factors — so add diagonals up front."""
     n = lambda i, j: i * W + j
+    # unaries in raster order: variable n(i, j) is the (i*W+j)-th unary
     for i in range(H):
         for j in range(W):
-            mrf.add_unary_factor(n(i, j), rng.uniform(-0.2, 0.2, size=2))
+            mrf.add_unary_factor(rng.uniform(-0.2, 0.2, size=2))
     anti = np.array([[0.0, 1.0], [1.0, 0.0]])
     ferro = 1.0 - anti
     for i in range(H):
@@ -71,15 +72,17 @@ def test_tighten_rounds_do_not_rebuild_engine():
 def test_aux_path_matches_rebuild_fixed_point():
     """Frustrated 3-cycle: the aux (MPLP cluster) schedule closes the same
     gap the integrated rebuild schedule does (lb 0 -> 1.0,
-    test/graphical_model.cpp:191-204 analogue)."""
+    test/graphical_model.cpp:191-204 analogue).  All three couplings
+    penalize agreement ([[1,0],[0,1]]), so the odd cycle cannot be
+    2-colored and the integral optimum is exactly 1."""
     def build(solver):
         mrf = solver.add_constructor(MrfConstructor, pairwise_rep="dense")
-        anti = np.array([[0.0, 1.0], [1.0, 0.0]])
+        disagree = np.array([[1.0, 0.0], [0.0, 1.0]])
         for v in range(3):
-            mrf.add_unary_factor(v, np.zeros(2))
-        mrf.add_pairwise_factor(0, 1, 1.0 - anti)
-        mrf.add_pairwise_factor(1, 2, 1.0 - anti)
-        mrf.add_pairwise_factor(0, 2, anti)
+            mrf.add_unary_factor(np.zeros(2))
+        mrf.add_pairwise_factor(0, 1, disagree)
+        mrf.add_pairwise_factor(1, 2, disagree)
+        mrf.add_pairwise_factor(0, 2, disagree)
         return mrf
 
     vis = StandardTighteningVisitor(max_iter=60, tighten=True,
@@ -102,12 +105,12 @@ def test_aux_fold_into_rebuild_keeps_bound():
                                     tighten_constraints_max=5)
     s = Solver(visitor=vis, use_jit=True)
     mrf = s.add_constructor(MrfConstructor, pairwise_rep="dense")
-    anti = np.array([[0.0, 1.0], [1.0, 0.0]])
+    disagree = np.array([[1.0, 0.0], [0.0, 1.0]])
     for v in range(3):
-        mrf.add_unary_factor(v, np.zeros(2))
-    mrf.add_pairwise_factor(0, 1, 1.0 - anti)
-    mrf.add_pairwise_factor(1, 2, 1.0 - anti)
-    mrf.add_pairwise_factor(0, 2, anti)
+        mrf.add_unary_factor(np.zeros(2))
+    mrf.add_pairwise_factor(0, 1, disagree)
+    mrf.add_pairwise_factor(1, 2, disagree)
+    mrf.add_pairwise_factor(0, 2, disagree)
     lb = s.solve()
     assert s.aux.n == 1
     s.build_engine()                       # fold absorbed triplets back
