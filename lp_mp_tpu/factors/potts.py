@@ -35,6 +35,19 @@ class PairwisePottsType(FactorType):
         nl = np.asarray([int(n) for n, _ in instances], dtype=np.int32)
         return {"msg1": m1, "msg2": m2, "diff": diff, "nl": nl}
 
+    def build_block(self, batch):
+        """batch = (n_labels, diff[N]) — uniform label count."""
+        L, diffs = batch
+        dtype = real_dtype()
+        diff = np.asarray(diffs, dtype=dtype)
+        N = diff.shape[0]
+        m = np.zeros((N, int(L)), dtype=dtype)
+        nl = np.full(N, int(L), dtype=np.int32)
+        return {"msg1": m, "msg2": m.copy(), "diff": diff, "nl": nl}
+
+    def item_data(self, block, i):
+        return (int(block["nl"][i]), float(block["diff"][i]))
+
     @staticmethod
     def min_pair(m1, m2, diff):
         """min over (x1, x2) of m1[x1] + m2[x2] + diff*[x1 != x2], batched."""

@@ -41,6 +41,16 @@ class UnarySimplexType(FactorType):
         nl = np.asarray([len(v) for v in instances], dtype=np.int32)
         return {"c": c, "nl": nl}
 
+    def build_block(self, batch):
+        """batch = [N, L] cost array (uniform label count)."""
+        c = np.ascontiguousarray(np.asarray(batch, dtype=real_dtype()))
+        assert c.ndim == 2
+        nl = np.full(c.shape[0], c.shape[1], dtype=np.int32)
+        return {"c": c, "nl": nl}
+
+    def item_data(self, block, i):
+        return np.asarray(block["c"][i, :int(block["nl"][i])])
+
     def lower_bound(self, costs):
         return jnp.min(costs["c"], axis=1)
 
@@ -72,6 +82,18 @@ class PairwiseSimplexType(FactorType):
         n1 = np.asarray([np.shape(v)[0] for v in instances], dtype=np.int32)
         n2 = np.asarray([np.shape(v)[1] for v in instances], dtype=np.int32)
         return {"c": c, "n1": n1, "n2": n2}
+
+    def build_block(self, batch):
+        """batch = [N, L1, L2] cost array (uniform label counts)."""
+        c = np.ascontiguousarray(np.asarray(batch, dtype=real_dtype()))
+        assert c.ndim == 3
+        n1 = np.full(c.shape[0], c.shape[1], dtype=np.int32)
+        n2 = np.full(c.shape[0], c.shape[2], dtype=np.int32)
+        return {"c": c, "n1": n1, "n2": n2}
+
+    def item_data(self, block, i):
+        return np.asarray(block["c"][i, :int(block["n1"][i]),
+                                     :int(block["n2"][i])])
 
     def lower_bound(self, costs):
         return jnp.min(costs["c"], axis=(1, 2))

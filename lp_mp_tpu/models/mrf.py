@@ -38,6 +38,37 @@ def is_potts(m: np.ndarray) -> "float | None":
     return d if off.max() <= 1e-9 * max(1.0, abs(d)) else None
 
 
+class _UnaryRefs:
+    """List-like view of unary FactorRefs backed by a flat fid list (1e6
+    unaries must not cost 1e6 dataclass objects up front)."""
+
+    __slots__ = ("_fids",)
+
+    def __init__(self):
+        self._fids: list[int] = []
+
+    def append(self, ref: FactorRef) -> None:
+        self._fids.append(ref.fid)
+
+    def extend_fids(self, fids) -> None:
+        self._fids.extend(np.asarray(fids).tolist())
+
+    def fids(self) -> np.ndarray:
+        return np.asarray(self._fids, dtype=np.int64)
+
+    def __len__(self):
+        return len(self._fids)
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [FactorRef(UNARY_SIMPLEX, f) for f in self._fids[i]]
+        return FactorRef(UNARY_SIMPLEX, self._fids[i])
+
+    def __iter__(self):
+        for f in self._fids:
+            yield FactorRef(UNARY_SIMPLEX, f)
+
+
 class MrfConstructor:
     """Problem constructor plugin (solver.hxx:63-67 tuple member analogue)."""
 
@@ -45,10 +76,21 @@ class MrfConstructor:
         assert pairwise_rep in ("auto", "dense", "potts")
         self.graph = graph
         self.pairwise_rep = pairwise_rep
-        self.unaries: list[FactorRef] = []
-        self.pairwise: dict[tuple[int, int], FactorRef] = {}
+        self.unaries = _UnaryRefs()
+        self._pairwise: dict[tuple[int, int], FactorRef] = {}
+        self._pair_batches: list = []   # lazily folded into _pairwise
         self.triplets: dict[tuple[int, int, int], FactorRef] = {}
         self._prev_unary: "FactorRef | None" = None
+
+    @property
+    def pairwise(self) -> dict:
+        """(i, j) -> pairwise FactorRef; batch additions materialize here
+        lazily (only tightening/tree code walks this dict)."""
+        while self._pair_batches:
+            pairs, fids, ft = self._pair_batches.pop(0)
+            for (i, j), fid in zip(map(tuple, pairs.tolist()), fids.tolist()):
+                self._pairwise[(i, j)] = FactorRef(ft, fid)
+        return self._pairwise
 
     # -- API pinned by test/graphical_model.cpp -----------------------------
     def add_unary_factor(self, costs) -> FactorRef:
@@ -59,6 +101,49 @@ class MrfConstructor:
             self.graph.add_factor_relation(self._prev_unary, u)
         self._prev_unary = u
         return u
+
+    # -- batch construction (10^6-variable models in O(1) Python ops) -------
+    def add_unary_factors(self, costs) -> np.ndarray:
+        """Batch AddUnaryFactor: ``costs`` [N, L]; variables are appended in
+        order.  Returns the global fids."""
+        costs = np.asarray(costs, dtype=np.float64)
+        fids = self.graph.add_factor_block(UNARY_SIMPLEX, costs, costs.shape[0])
+        if self._prev_unary is not None:
+            self.graph.add_factor_relation_block(
+                np.asarray([self._prev_unary.fid]), fids[:1])
+        if len(fids) > 1:
+            self.graph.add_factor_relation_block(fids[:-1], fids[1:])
+        self.unaries.extend_fids(fids)
+        self._prev_unary = FactorRef(UNARY_SIMPLEX, int(fids[-1]))
+        return fids
+
+    def _add_pairwise_block(self, pairs, ftype, batch, m1, m2) -> np.ndarray:
+        pairs = np.asarray(pairs, dtype=np.int64)
+        assert (pairs[:, 0] < pairs[:, 1]).all(), \
+            "pairwise factor endpoints must be ordered"
+        E = len(pairs)
+        fids = self.graph.add_factor_block(ftype, batch, E)
+        ufids = self.unaries.fids()
+        li, rj = ufids[pairs[:, 0]], ufids[pairs[:, 1]]
+        self.graph.add_message_block(m1, li, fids)
+        self.graph.add_message_block(m2, rj, fids)
+        self.graph.add_factor_relation_block(li, fids)
+        self.graph.add_factor_relation_block(fids, rj)
+        self._pair_batches.append((pairs, fids, ftype))
+        return fids
+
+    def add_pairwise_factors(self, pairs, costs) -> np.ndarray:
+        """Batch AddPairwiseFactor with dense costs [E, L1, L2]."""
+        costs = np.asarray(costs, dtype=np.float64)
+        return self._add_pairwise_block(pairs, PAIRWISE_SIMPLEX, costs,
+                                        UNARY_PAIRWISE_1, UNARY_PAIRWISE_2)
+
+    def add_potts_factors(self, pairs, n_labels: int, diffs) -> np.ndarray:
+        """Batch AddPairwiseFactor for Potts costs: diff[e] * [x1 != x2]."""
+        diffs = np.asarray(diffs, dtype=np.float64)
+        return self._add_pairwise_block(pairs, PAIRWISE_POTTS,
+                                        (n_labels, diffs),
+                                        UNARY_POTTS_1, UNARY_POTTS_2)
 
     def add_pairwise_factor(self, i: int, j: int, costs) -> FactorRef:
         assert i < j, "pairwise factor endpoints must be ordered"
@@ -153,7 +238,4 @@ class MrfConstructor:
 def mrf_labeling(constructor: MrfConstructor, engine, prim) -> np.ndarray:
     """Per-variable labels from a primal pytree."""
     x = np.asarray(prim[UNARY_SIMPLEX.name]["x"])
-    out = np.empty(len(constructor.unaries), dtype=np.int64)
-    for v, u in enumerate(constructor.unaries):
-        out[v] = x[engine.f_local[u.fid]]
-    return out
+    return x[engine.f_local[constructor.unaries.fids()]].astype(np.int64)

@@ -53,6 +53,17 @@ class FactorType:
         """Pack instance data into a padded batched block (numpy)."""
         raise NotImplementedError
 
+    def build_block(self, batch: Any) -> dict:
+        """Pack a whole *batch payload* (type-specific, e.g. an [N, L] cost
+        array) into a block in O(1) Python ops.  Batch counterpart of
+        ``build`` used by FactorGraph.add_factor_block."""
+        raise NotImplementedError(f"{self.name} has no batch constructor")
+
+    def item_data(self, block: dict, i: int) -> Any:
+        """Recover per-instance data from a built block (lazy
+        graph.factors[fid] view over block chunks)."""
+        raise NotImplementedError(f"{self.name} has no per-item view")
+
     # -- dual --------------------------------------------------------------
     def lower_bound(self, costs: dict) -> jnp.ndarray:
         """[F] per-factor lower bound = min over local labelings (LP_MP.h:1507)."""
@@ -93,6 +104,14 @@ class MessageType:
     def build(self, instances: Sequence[Any]) -> dict:
         """Pack per-message static data (may be empty)."""
         return {}
+
+    def build_block(self, batch: Any) -> dict:
+        """Batch counterpart of ``build`` (FactorGraph.add_message_block)."""
+        raise NotImplementedError(f"{self.name} has no batch constructor")
+
+    def item_data(self, block: dict, i: int) -> Any:
+        """Per-instance data view over a built data block."""
+        raise NotImplementedError(f"{self.name} has no per-item view")
 
     # -- marginals ---------------------------------------------------------
     def marginal_left(self, left_costs: dict, data: dict) -> jnp.ndarray:

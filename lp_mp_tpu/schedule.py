@@ -65,25 +65,39 @@ def factor_updated_mask(n_factors: int, messages: Sequence[MessageDesc]) -> np.n
 # Topological sort (reference-identical DFS reverse postorder)
 # ---------------------------------------------------------------------------
 
-def toposort(n: int, edges: Sequence[tuple[int, int]]) -> list[int]:
+def toposort(n: int, edges) -> list[int]:
     """Iterative DFS reverse-postorder, same traversal order as
     Topological_Sort::Graph::topologicalSort (topological_sort.hxx:62-145):
-    roots scanned 0..n-1, neighbors in edge-insertion order."""
-    adj: list[list[int]] = [[] for _ in range(n)]
-    indeg = np.zeros(n, dtype=np.int64)
-    for v, w in edges:
-        adj[v].append(w)
-        indeg[w] += 1
+    roots scanned 0..n-1, neighbors in edge-insertion order.
+
+    ``edges`` is any iterable of (src, dst) pairs or an object with
+    ``.arrays() -> (src[], dst[])`` (FactorGraph relation blocks).  The DFS
+    walks a stably-sorted CSR, which preserves edge-insertion order per
+    node."""
+    if hasattr(edges, "arrays"):
+        src, dst = edges.arrays()
+    else:
+        pairs = list(edges)
+        if pairs:
+            arr = np.asarray(pairs, dtype=np.int64)
+            src, dst = arr[:, 0], arr[:, 1]
+        else:
+            src = dst = np.zeros(0, dtype=np.int64)
+    order = np.argsort(src, kind="stable")
+    indices = dst[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    indptr[1:] = np.cumsum(np.bincount(src, minlength=n))
+
     # cycle check via Kahn count (the reference throws "graph not a dag")
-    q = [i for i in range(n) if indeg[i] == 0]
+    indeg = np.bincount(dst, minlength=n)
+    q = list(np.nonzero(indeg == 0)[0])
     seen = 0
-    indeg2 = indeg.copy()
     while q:
         v = q.pop()
         seen += 1
-        for w in adj[v]:
-            indeg2[w] -= 1
-            if indeg2[w] == 0:
+        for w in indices[indptr[v]:indptr[v + 1]]:
+            indeg[w] -= 1
+            if indeg[w] == 0:
                 q.append(w)
     if seen != n:
         raise ValueError("graph not a dag")
@@ -93,18 +107,18 @@ def toposort(n: int, edges: Sequence[tuple[int, int]]) -> list[int]:
     for root in range(n):
         if mark[root]:
             continue
-        stack: list[tuple[int, int]] = [(root, 0)]
+        stack: list[tuple[int, int]] = [(root, int(indptr[root]))]
         mark[root] = 2
         while stack:
             node, it = stack[-1]
-            nbrs = adj[node]
-            while it < len(nbrs) and mark[nbrs[it]]:
+            end = indptr[node + 1]
+            while it < end and mark[indices[it]]:
                 it += 1
-            if it < len(nbrs):
-                nxt = nbrs[it]
+            if it < end:
+                nxt = int(indices[it])
                 stack[-1] = (node, it + 1)
                 mark[nxt] = 2
-                stack.append((nxt, 0))
+                stack.append((nxt, int(indptr[nxt])))
             else:
                 stack.pop()
                 post.append(node)
@@ -360,6 +374,179 @@ def compute_weights(mode: ReparametrizationMode, order: Sequence[int], n: int,
                        0.5 * (a.omega_right + d.omega_right),
                        d.recv_left, d.recv_right)
     raise ValueError(f"unknown reparametrization mode {mode}")
+
+
+# ---------------------------------------------------------------------------
+# Vectorized (array-form) weight computation — same math as the per-message
+# loops above, restructured over "slots" (one per message side) so a
+# 10^6-message graph computes weights in O(M) NumPy instead of O(M) Python.
+# Only valid for full-set orders (every factor in ``order``); partition /
+# push passes with subset relay rules keep the loop form.
+# ---------------------------------------------------------------------------
+
+def _slot_arrays(typed):
+    """Flatten [(schedule, lfid[], rfid[], gids[])] into both-side slot
+    arrays: (f, a, mi, is_left, sends, receives, adj_recv)."""
+    fs, as_, mis, lts, sds, rcs, ars = [], [], [], [], [], [], []
+    for s, l, r, g in typed:
+        l = np.asarray(l, dtype=np.int64)
+        r = np.asarray(r, dtype=np.int64)
+        g = np.asarray(g, dtype=np.int64)
+        m = len(g)
+        # left side of the message: f = left factor
+        fs.append(l)
+        as_.append(r)
+        mis.append(g)
+        lts.append(np.ones(m, dtype=bool))
+        sds.append(np.full(m, s.sends_to_right))
+        rcs.append(np.full(m, s.left_receives))
+        ars.append(np.full(m, s.right_receives))
+        # right side
+        fs.append(r)
+        as_.append(l)
+        mis.append(g)
+        lts.append(np.zeros(m, dtype=bool))
+        sds.append(np.full(m, s.sends_to_left))
+        rcs.append(np.full(m, s.right_receives))
+        ars.append(np.full(m, s.left_receives))
+    if not fs:
+        z = np.zeros(0, dtype=np.int64)
+        b = np.zeros(0, dtype=bool)
+        return z, z, z, b, b, b, b
+    return (np.concatenate(fs), np.concatenate(as_), np.concatenate(mis),
+            np.concatenate(lts), np.concatenate(sds), np.concatenate(rcs),
+            np.concatenate(ars))
+
+
+def compute_anisotropic_weights_arrays(order, n: int, typed, n_messages: int,
+                                       updated: np.ndarray) -> Weights:
+    """Vectorized SRMP anisotropic weights (LP_MP.h:1230-1415), full-set
+    order only (loop-form parity pinned by tests/test_weights_arrays.py)."""
+    order = np.asarray(order, dtype=np.int64)
+    assert len(order) == n, "array-form weights require a full-set order"
+    pos = np.empty(n, dtype=np.int64)
+    pos[order] = np.arange(n)
+    f, a, mi, is_left, sends, receives, adj_recv = _slot_arrays(typed)
+    pf, pa = pos[f], pos[a]
+
+    # pass 1: receiving-factor statistics (LP_MP.h:1242-1261)
+    MAXI = np.iinfo(np.int64).max
+    sel = adj_recv & (pa > pf)
+    no_receiving_later = np.bincount(f[sel], minlength=n)
+    last_receiving = np.zeros(n, dtype=np.int64)
+    np.maximum.at(last_receiving, f[sel], pa[sel])
+    first_receiving = np.full(n, MAXI, dtype=np.int64)
+    np.minimum.at(first_receiving, f[sel], pa[sel])
+
+    omega_left = np.zeros(n_messages)
+    omega_right = np.zeros(n_messages)
+    recv_left = np.zeros(n_messages, dtype=bool)
+    recv_right = np.zeros(n_messages, dtype=bool)
+
+    # pass 2: send flags + SRMP weight (LP_MP.h:1306-1408)
+    ss = sends & updated[f]
+    flag = ((pf < pa) & updated[a]) | (last_receiving[a] > pf)
+    total_send = np.bincount(f[ss], minlength=n)
+    aniso = np.bincount(f[ss & flag], minlength=n)
+    denom = no_receiving_later + np.maximum(aniso, total_send - aniso)
+    w_f = np.where(aniso > 0, 1.0 / np.maximum(denom, 1), 0.0)
+    sel_o = ss & flag
+    lsel = sel_o & is_left
+    omega_left[mi[lsel]] = w_f[f[lsel]]
+    rsel = sel_o & ~is_left
+    omega_right[mi[rsel]] = w_f[f[rsel]]
+
+    rr = receives & updated[f]
+    rflag = (pa < pf) | (first_receiving[a] < pf)
+    lsel = rr & rflag & is_left
+    recv_left[mi[lsel]] = True
+    rsel = rr & rflag & ~is_left
+    recv_right[mi[rsel]] = True
+    return Weights(omega_left, omega_right, recv_left, recv_right)
+
+
+def compute_anisotropic2_weights_arrays(order, n: int, typed, n_messages: int,
+                                        updated: np.ndarray) -> Weights:
+    """Vectorized anisotropic2 (LP_MP.h:1084-1154)."""
+    order = np.asarray(order, dtype=np.int64)
+    assert len(order) == n
+    pos = np.empty(n, dtype=np.int64)
+    pos[order] = np.arange(n)
+    f, a, mi, is_left, sends, receives, _ = _slot_arrays(typed)
+    pf, pa = pos[f], pos[a]
+
+    no_send_later = np.bincount(f[sends & (pf < pa)], minlength=n)
+    omega_left = np.zeros(n_messages)
+    omega_right = np.zeros(n_messages)
+    recv_left = np.zeros(n_messages, dtype=bool)
+    recv_right = np.zeros(n_messages, dtype=bool)
+
+    sel = sends & updated[f] & (pf < pa)
+    w = 1.0 / np.maximum(no_send_later, 1)
+    omega_left[mi[sel & is_left]] = w[f[sel & is_left]]
+    omega_right[mi[sel & ~is_left]] = w[f[sel & ~is_left]]
+    sel = receives & updated[f] & (pa < pf)
+    recv_left[mi[sel & is_left]] = True
+    recv_right[mi[sel & ~is_left]] = True
+    return Weights(omega_left, omega_right, recv_left, recv_right)
+
+
+def compute_uniform_weights_arrays(n: int, typed, n_messages: int,
+                                   updated: np.ndarray,
+                                   leave_weight: float) -> Weights:
+    """Vectorized uniform/damped weights (LP_MP.h:1420-1449, 1480-1505)."""
+    f, a, mi, is_left, sends, receives, _ = _slot_arrays(typed)
+    n_send = np.bincount(f[sends & updated[f]], minlength=n)
+    w = 1.0 / (np.maximum(n_send, 1) + leave_weight)
+    omega_left = np.zeros(n_messages)
+    omega_right = np.zeros(n_messages)
+    recv_left = np.zeros(n_messages, dtype=bool)
+    recv_right = np.zeros(n_messages, dtype=bool)
+    sel = sends & updated[f] & (n_send[f] > 0)
+    omega_left[mi[sel & is_left]] = w[f[sel & is_left]]
+    omega_right[mi[sel & ~is_left]] = w[f[sel & ~is_left]]
+    sel = receives & updated[f]
+    recv_left[mi[sel & is_left]] = True
+    recv_right[mi[sel & ~is_left]] = True
+    return Weights(omega_left, omega_right, recv_left, recv_right)
+
+
+def compute_weights_arrays(mode: ReparametrizationMode, order, n: int,
+                           typed, n_messages: int,
+                           updated: np.ndarray) -> Weights:
+    """Array-form compute_weights over [(schedule, lfid, rfid, gids)]."""
+    mode = ReparametrizationMode.convert(mode)
+    if mode == ReparametrizationMode.anisotropic:
+        return compute_anisotropic_weights_arrays(order, n, typed,
+                                                  n_messages, updated)
+    if mode == ReparametrizationMode.anisotropic2:
+        return compute_anisotropic2_weights_arrays(order, n, typed,
+                                                   n_messages, updated)
+    if mode == ReparametrizationMode.uniform:
+        return compute_uniform_weights_arrays(n, typed, n_messages,
+                                              updated, 0.0)
+    if mode == ReparametrizationMode.damped_uniform:
+        return compute_uniform_weights_arrays(n, typed, n_messages,
+                                              updated, 1.0)
+    if mode == ReparametrizationMode.mixed:
+        a = compute_anisotropic_weights_arrays(order, n, typed,
+                                               n_messages, updated)
+        d = compute_uniform_weights_arrays(n, typed, n_messages, updated, 1.0)
+        return Weights(0.5 * (a.omega_left + d.omega_left),
+                       0.5 * (a.omega_right + d.omega_right),
+                       d.recv_left, d.recv_right)
+    raise ValueError(f"unknown reparametrization mode {mode}")
+
+
+def omega_valid_arrays(weights: Weights, n: int, typed) -> bool:
+    """Array-form omega_valid (LP_MP.h:1007-1014)."""
+    if (weights.omega_left < 0).any() or (weights.omega_right < 0).any():
+        return False
+    acc = np.zeros(n)
+    for s, l, r, g in typed:
+        np.add.at(acc, np.asarray(l), weights.omega_left[np.asarray(g)])
+        np.add.at(acc, np.asarray(r), weights.omega_right[np.asarray(g)])
+    return bool((acc <= 1.0 + 1e-6).all())
 
 
 def omega_valid(weights: Weights, n: int, messages: Sequence[MessageDesc]) -> bool:

@@ -27,10 +27,12 @@ class Solver:
                  schedule_mode: str = "wavefront", use_jit: bool = True,
                  reparametrization_type: str = "shared",
                  inner_iteration: int = 5,
-                 exact_rounding: "str | None" = None):
+                 exact_rounding: "str | None" = None,
+                 pass_style: str = "auto"):
         self.graph = FactorGraph()
         self.visitor = visitor if visitor is not None else StandardVisitor()
         self.schedule_mode = schedule_mode
+        self.pass_style = pass_style
         self.use_jit = use_jit
         # --reparametrizationType / --innerIteration (LP_MP.h:588-594)
         self.reparametrization_type = reparametrization_type
@@ -62,7 +64,8 @@ class Solver:
         self.engine = Engine(self.graph, schedule_mode=self.schedule_mode,
                              use_jit=self.use_jit,
                              update_mode=self.reparametrization_type,
-                             inner_iteration=self.inner_iteration)
+                             inner_iteration=self.inner_iteration,
+                             pass_style=self.pass_style)
         self.n_engine_builds += 1
         if old is not None:
             # carry reparametrized duals over: old rows are a prefix of the
