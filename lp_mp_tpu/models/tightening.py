@@ -52,20 +52,61 @@ def triplet_score(constructor, engine, i: int, j: int, k: int) -> float:
     return float(joint - indep)
 
 
+def _batched_scores(constructor, engine, triangles) -> np.ndarray:
+    """Scores for a list of (i,j,k) triangles in one batched reduction:
+    a single device->host pull of the pairwise cost block, then chunked
+    [T,L,L,L] broadcast mins (PAD_COST padding cannot win a min, so
+    padded label slots need no masking)."""
+    from ..factors.simplex import PAIRWISE_SIMPLEX
+    pw = constructor.pairwise
+    blk = engine.state[PAIRWISE_SIMPLEX.name]
+    c = np.asarray(blk["c"], dtype=np.float64)
+    n1 = np.asarray(blk["n1"])
+    n2 = np.asarray(blk["n2"])
+    # mask invalid label slots with +inf (padding slots may hold arbitrary
+    # reparametrized values), then square-pad so label axes align
+    S = max(c.shape[1], c.shape[2])
+    cm = np.full((c.shape[0], S, S), np.inf)
+    cm[:, :c.shape[1], :c.shape[2]] = c
+    valid = ((np.arange(S)[None, :, None] < n1[:, None, None])
+             & (np.arange(S)[None, None, :] < n2[:, None, None]))
+    cm = np.where(valid, cm, np.inf)
+    rows = np.empty((len(triangles), 3), dtype=np.int64)
+    for t, (i, j, k) in enumerate(triangles):
+        for s, p in enumerate((pw[(i, j)], pw[(i, k)], pw[(j, k)])):
+            assert p.ftype is PAIRWISE_SIMPLEX, \
+                "triplet tightening needs dense pairwise factors"
+            rows[t, s] = engine.f_local[p.fid]
+    scores = np.empty(len(triangles))
+    CH = max(1, 1 << 24 >> (3 * S.bit_length()))
+    for s in range(0, len(triangles), CH):
+        e = min(s + CH, len(triangles))
+        tij = cm[rows[s:e, 0]]
+        tik = cm[rows[s:e, 1]]
+        tjk = cm[rows[s:e, 2]]
+        joint = (tij[:, :, :, None] + tik[:, :, None, :]
+                 + tjk[:, None, :, :]).min(axis=(1, 2, 3))
+        indep = (tij.min(axis=(1, 2)) + tik.min(axis=(1, 2))
+                 + tjk.min(axis=(1, 2)))
+        scores[s:e] = joint - indep
+    return scores
+
+
 def triplet_search(constructor, engine, max_constraints: int,
                    min_score: float = 1e-8) -> int:
     if max_constraints <= 0:
         return 0
-    scored = []
-    for (i, j, k) in triangle_candidates(constructor):
-        if (i, j, k) in constructor.triplets:
-            continue
-        s = triplet_score(constructor, engine, i, j, k)
-        if s > min_score:
-            scored.append((s, (i, j, k)))
-    scored.sort(reverse=True)
+    cand = [t for t in triangle_candidates(constructor)
+            if t not in constructor.triplets]
+    if not cand:
+        return 0
+    scores = _batched_scores(constructor, engine, cand)
+    order = np.argsort(-scores, kind="stable")
     added = 0
-    for s, (i, j, k) in scored[:max_constraints]:
+    for t in order[:max_constraints]:
+        if scores[t] <= min_score:
+            break
+        i, j, k = cand[t]
         constructor.add_tightening_triplet(i, j, k)
         added += 1
     return added

@@ -117,3 +117,45 @@ def test_aux_fold_into_rebuild_keeps_bound():
     assert s.aux.n == 0
     lb_folded = s.engine.lower_bound()
     assert lb_folded >= lb - 1e-5
+
+
+def test_aux_tighten_100x100_no_rebuilds():
+    """r1/r2 acceptance (VERDICT r2 item 3): >=10 tighten rounds on a
+    ~100x100 frustrated grid with at most 2 engine builds, monotone bound,
+    batched triplet separation."""
+    rng = np.random.default_rng(0)
+    H = W = 100
+    s = Solver(visitor=StandardVisitor(max_iter=5), use_jit=True)
+    mrf = s.add_constructor(MrfConstructor, pairwise_rep="dense")
+    mrf.add_unary_factors(rng.uniform(-0.2, 0.2, size=(H * W, 2)))
+    idx = np.arange(H * W).reshape(H, W)
+    pairs = np.concatenate([
+        np.stack([idx[:, :-1].ravel(), idx[:, 1:].ravel()], axis=1),
+        np.stack([idx[:-1, :].ravel(), idx[1:, :].ravel()], axis=1),
+        np.stack([idx[:-1, :-1].ravel(), idx[1:, 1:].ravel()], axis=1)])
+    anti = np.array([[0.0, 1.0], [1.0, 0.0]])
+    pick = rng.random(len(pairs)) < 0.5
+    mrf.add_pairwise_factors(pairs, np.where(pick[:, None, None],
+                                             anti, 1.0 - anti))
+    s.solve()
+    lb0 = lb = s.lower_bound()
+    from lp_mp_tpu.aux_tighten import absorbable
+    from lp_mp_tpu.models.tightening import triplet_search
+    for r in range(10):
+        added = triplet_search(mrf, s.engine, max_constraints=20)
+        assert added > 0, r
+        n0 = s.graph.n_factors - added
+        m0 = len(s.graph.messages) - 3 * added
+        items = absorbable(s.graph, s.engine, n0, m0)
+        assert items is not None
+        for fid, data, rows in items:
+            s.aux.add(s.engine, fid, data, rows)
+        for _ in range(3):
+            s.engine.compute_pass("anisotropic")
+            s.aux.run(s.engine)
+        lb2 = s.engine.lower_bound() + s.aux.lower_bound()
+        assert lb2 >= lb - 1e-6, (r, lb, lb2)
+        lb = lb2
+    assert s.n_engine_builds <= 2
+    assert s.aux.n == 200
+    assert lb > lb0 + 100.0      # tightening closed real gap (10.4 -> ~200)
