@@ -36,6 +36,14 @@ class MulticutEdgeType(FactorType):
         c = np.asarray(list(instances), dtype=real_dtype())
         return {"c": c}
 
+    def build_block(self, batch):
+        """batch = cost array [N]."""
+        return {"c": np.ascontiguousarray(np.asarray(batch,
+                                                     dtype=real_dtype()))}
+
+    def item_data(self, block, i):
+        return float(block["c"][i])
+
     def lower_bound(self, costs):
         return jnp.minimum(costs["c"], 0.0)
 

@@ -60,6 +60,30 @@ class MulticutConstructor:
         self._prev_edge = e
         return e
 
+    def add_edges(self, pairs, costs) -> np.ndarray:
+        """Batch add_edge: ``pairs`` [E, 2] node ids (any order, normalized
+        to i<j), ``costs`` [E].  O(E) dict fills + O(1) array appends;
+        returns global fids."""
+        pairs = np.asarray(pairs, dtype=np.int64)
+        lo = pairs.min(axis=1)
+        hi = pairs.max(axis=1)
+        assert (lo != hi).all()
+        costs = np.asarray(costs, dtype=np.float64)
+        fids = self.graph.add_factor_block(MULTICUT_EDGE, costs, len(pairs))
+        if self._prev_edge is not None:
+            self.graph.add_factor_relation_block(
+                np.asarray([self._prev_edge.fid]), fids[:1])
+        if len(fids) > 1:
+            self.graph.add_factor_relation_block(fids[:-1], fids[1:])
+        for (i, j), fid, c in zip(zip(lo.tolist(), hi.tolist()),
+                                  fids.tolist(), costs.tolist()):
+            assert (i, j) not in self.edges
+            self.edges[(i, j)] = FactorRef(MULTICUT_EDGE, fid)
+            self.edge_cost[(i, j)] = c
+        self.n_nodes = max(self.n_nodes, int(hi.max()) + 1)
+        self._prev_edge = FactorRef(MULTICUT_EDGE, int(fids[-1]))
+        return fids
+
     def add_triplet(self, i: int, j: int, k: int) -> FactorRef:
         assert i < j < k
         key = (i, j, k)
