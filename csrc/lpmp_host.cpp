@@ -371,4 +371,64 @@ int64_t lpmp_color2(int64_t n, const int64_t* indptr, const int64_t* indices,
   return n_colors;
 }
 
+// Batched BFS path queries: build the thresholded adjacency ONCE, answer k
+// (src, dst) queries (cycle separation runs thousands per tighten round on
+// one reparametrized graph — rebuilding adjacency per query is O(k*m)).
+// out_paths is [k * max_len]; out_lens[q] = path length (0 = none/too long);
+// out_bottleneck[q] = min edge weight along the path.
+int64_t lpmp_bfs_paths(int64_t n, int64_t m, const int64_t* us,
+                       const int64_t* vs, const double* ws, int64_t k,
+                       const int64_t* srcs, const int64_t* dsts,
+                       double threshold, int64_t max_len, int64_t* out_paths,
+                       int64_t* out_lens, double* out_bottleneck) {
+  // CSR over arcs with weight > threshold
+  std::vector<int64_t> deg(n + 1, 0);
+  for (int64_t e = 0; e < m; ++e)
+    if (ws[e] > threshold) { ++deg[us[e] + 1]; ++deg[vs[e] + 1]; }
+  for (int64_t i = 0; i < n; ++i) deg[i + 1] += deg[i];
+  std::vector<int64_t> head(deg.back());
+  std::vector<double> hw(deg.back());
+  std::vector<int64_t> fill(deg.begin(), deg.end() - 1);
+  for (int64_t e = 0; e < m; ++e)
+    if (ws[e] > threshold) {
+      head[fill[us[e]]] = vs[e]; hw[fill[us[e]]++] = ws[e];
+      head[fill[vs[e]]] = us[e]; hw[fill[vs[e]]++] = ws[e];
+    }
+  std::vector<int64_t> par(n), stamp(n, -1);
+  std::vector<double> parw(n);
+  std::vector<int64_t> q(n);
+  for (int64_t qq = 0; qq < k; ++qq) {
+    const int64_t src = srcs[qq], dst = dsts[qq];
+    out_lens[qq] = 0;
+    out_bottleneck[qq] = 0.0;
+    int64_t qh = 0, qt = 0;
+    q[qt++] = src; stamp[src] = qq; par[src] = -1;
+    bool found = (src == dst);
+    while (qh < qt && !found) {
+      const int64_t u = q[qh++];
+      for (int64_t e = deg[u]; e < deg[u + 1]; ++e) {
+        const int64_t v = head[e];
+        if (stamp[v] != qq) {
+          stamp[v] = qq; par[v] = u; parw[v] = hw[e];
+          if (v == dst) { found = true; break; }
+          q[qt++] = v;
+        }
+      }
+    }
+    if (!found) continue;
+    int64_t len = 0;
+    double bn = 1e300;
+    for (int64_t v = dst; v >= 0; v = par[v]) {
+      ++len;
+      if (par[v] >= 0 && parw[v] < bn) bn = parw[v];
+    }
+    if (len > max_len) continue;
+    out_lens[qq] = len;
+    out_bottleneck[qq] = (len > 1) ? bn : 0.0;
+    int64_t* p = out_paths + qq * max_len + len;
+    for (int64_t v = dst; v >= 0; v = par[v]) *--p = v;
+  }
+  return 0;
+}
+
 }  // extern "C"

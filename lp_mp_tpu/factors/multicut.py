@@ -63,6 +63,19 @@ class MulticutEdgeType(FactorType):
     def dual_vector(self, costs):
         return costs["c"][:, None]
 
+    # -- constraint export: configs (uncut, cut) --------------------------
+    def lp_vars(self, state_row, data):
+        c = float(state_row["c"])
+        return np.asarray([0.0, c]), [{0: 1.0, 1: 1.0}], [1.0], None
+
+    def lp_fix(self, prim_row, meta):
+        v = np.zeros(2)
+        v[int(prim_row["x"])] = 1.0
+        return v
+
+    def lp_read(self, values, meta):
+        return {"x": int(np.argmax(values))}
+
 
 class MulticutTripletType(FactorType):
     name = "multicut_triplet"
@@ -95,6 +108,28 @@ class MulticutTripletType(FactorType):
 
     def dual_vector(self, costs):
         return costs["c"]
+
+    # -- constraint export: 5 configs = all-uncut + TRIPLET_PATTERNS ------
+    def lp_vars(self, state_row, data):
+        c = np.concatenate([[0.0], np.asarray(state_row["c"],
+                                              dtype=np.float64)])
+        return c, [{k: 1.0 for k in range(5)}], [1.0], None
+
+    def lp_fix(self, prim_row, meta):
+        e = np.asarray([int(prim_row["e1"]), int(prim_row["e2"]),
+                        int(prim_row["e3"])])
+        v = np.zeros(5)
+        if not e.any():
+            v[0] = 1.0
+        else:
+            v[1 + int(np.nonzero((TRIPLET_PATTERNS == e)
+                                 .all(axis=1))[0][0])] = 1.0
+        return v
+
+    def lp_read(self, values, meta):
+        k = int(np.argmax(values))
+        e = np.zeros(3, np.int64) if k == 0 else TRIPLET_PATTERNS[k - 1]
+        return {"e1": int(e[0]), "e2": int(e[1]), "e3": int(e[2])}
 
 
 def _k4_cut_patterns() -> np.ndarray:
@@ -150,6 +185,29 @@ class MulticutOddWheelType(FactorType):
 
     def dual_vector(self, costs):
         return costs["c"]
+
+    # -- constraint export: 15 configs = all-uncut + ODD_WHEEL_PATTERNS ---
+    def lp_vars(self, state_row, data):
+        c = np.concatenate([[0.0], np.asarray(state_row["c"],
+                                              dtype=np.float64)])
+        n = 1 + ODD_WHEEL_PATTERNS.shape[0]
+        return c, [{k: 1.0 for k in range(n)}], [1.0], None
+
+    def lp_fix(self, prim_row, meta):
+        e = np.asarray([int(prim_row[f"e{s}"]) for s in range(1, 7)])
+        v = np.zeros(1 + ODD_WHEEL_PATTERNS.shape[0])
+        if not e.any():
+            v[0] = 1.0
+        else:
+            v[1 + int(np.nonzero((ODD_WHEEL_PATTERNS == e)
+                                 .all(axis=1))[0][0])] = 1.0
+        return v
+
+    def lp_read(self, values, meta):
+        k = int(np.argmax(values))
+        e = (np.zeros(6, np.int64) if k == 0
+             else ODD_WHEEL_PATTERNS[k - 1])
+        return {f"e{s}": int(e[s - 1]) for s in range(1, 7)}
 
 
 MULTICUT_EDGE = MulticutEdgeType()

@@ -48,6 +48,26 @@ class PairwisePottsType(FactorType):
     def item_data(self, block, i):
         return (int(block["nl"][i]), float(block["diff"][i]))
 
+    # -- constraint export: densified (the O(L) factor exports its O(L^2)
+    # configuration polytope, pairwise_potts == PairwiseSimplex semantics)
+    def lp_vars(self, state_row, data):
+        nl = int(state_row["nl"])
+        m1 = np.asarray(state_row["msg1"][:nl], dtype=np.float64)
+        m2 = np.asarray(state_row["msg2"][:nl], dtype=np.float64)
+        diff = float(state_row["diff"])
+        c = m1[:, None] + m2[None, :] + diff * (1.0 - np.eye(nl))
+        return (c.ravel(), [{k: 1.0 for k in range(nl * nl)}], [1.0],
+                (nl, nl))
+
+    def lp_fix(self, prim_row, meta):
+        v = np.zeros(meta[0] * meta[1])
+        v[int(prim_row["x1"]) * meta[1] + int(prim_row["x2"])] = 1.0
+        return v
+
+    def lp_read(self, values, meta):
+        k = int(np.argmax(values))
+        return {"x1": k // meta[1], "x2": k % meta[1]}
+
     @staticmethod
     def min_pair(m1, m2, diff):
         """min over (x1, x2) of m1[x1] + m2[x2] + diff*[x1 != x2], batched."""

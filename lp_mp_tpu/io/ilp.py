@@ -8,12 +8,14 @@ region solves of combiLP (combiLP.hxx:92-271) / partial_external_solver
 
 TPU-native design: instead of a SAT encoding with incremental clauses, the
 (sub)problem is the integral local polytope — the same constraint system
-``io/lp_export.build_local_polytope`` already produces — handed to HiGHS
-branch-and-bound (scipy.optimize.milp).  Subset solves condition the border
-messages on a fixed outside labeling by substituting the outside indicator
-variables into the marginalization constraints (moving them to the rhs),
-which is the conditioned analogue of the reference's border
-reparametrization.  Host-side; runs once per rounding/combiLP round.
+``io/lp_export.build_local_polytope`` already produces from the per-type
+``lp_vars``/``lp_coupling`` hooks — handed to HiGHS branch-and-bound
+(scipy.optimize.milp).  Subset solves condition the border couplings on a
+fixed outside labeling by substituting the outside variables
+(``FactorType.lp_fix``) into the constraint rows (moving them to the rhs),
+the conditioned analogue of the reference's border reparametrization.
+Covers every factor type that implements the hooks — all four model
+families.  Host-side; runs once per rounding/combiLP round.
 """
 from __future__ import annotations
 
@@ -22,38 +24,12 @@ import numpy as np
 from .lp_export import _factor_tables, build_local_polytope
 
 
-def _flat_config(name: str, shape, prim_type: dict, row: int) -> int:
-    """Fixed primal labels of one factor -> flat configuration index."""
-    if name == "unary_simplex":
-        return int(prim_type["x"][row])
-    if name in ("pairwise_simplex", "pairwise_potts"):
-        n2 = shape[1]
-        return int(prim_type["x1"][row]) * n2 + int(prim_type["x2"][row])
-    if name == "ternary_simplex":
-        _, l2, l3 = shape
-        return (int(prim_type["x1"][row]) * l2 + int(prim_type["x2"][row])) * l3 \
-            + int(prim_type["x3"][row])
-    raise NotImplementedError(name)
-
-
-def _labels_from_flat(name: str, shape, k: int):
-    if name == "unary_simplex":
-        return {"x": k}
-    if name in ("pairwise_simplex", "pairwise_potts"):
-        n2 = shape[1]
-        return {"x1": k // n2, "x2": k % n2}
-    if name == "ternary_simplex":
-        _, l2, l3 = shape
-        return {"x1": k // (l2 * l3), "x2": (k // l3) % l2, "x3": k % l3}
-    raise NotImplementedError(name)
-
-
 def solve_ilp(engine, subset=None, fixed_prim=None, time_limit=None):
     """Exact MILP solve of the (subset of the) factor graph.
 
     subset: bool mask [n_factors] of factors to optimize (None = all).
     fixed_prim: primal pytree fixing the factors OUTSIDE the subset; border
-    marginalization constraints are conditioned on it.
+    coupling constraints are conditioned on it.
 
     Returns (prim, objective) where prim is a full primal pytree (outside
     factors copied from fixed_prim) and objective is the total primal cost
@@ -74,20 +50,21 @@ def solve_ilp(engine, subset=None, fixed_prim=None, time_limit=None):
         assert fixed_prim is not None, \
             "subset ILP solve requires fixed_prim for the border"
 
-    sizes = np.asarray([int(np.prod(sh)) for (_, sh, _) in tables])
-    ends = np.cumsum(sizes)
+    sizes = np.asarray([len(c) for (_, _, c, _, _) in tables])
     var_fid = np.repeat(np.arange(nfac), sizes)
     var_inside = subset[var_fid]
 
-    # fixed indicator values for outside variables
+    # fixed variable values for outside factors (lp_fix = convert_primal
+    # in the primal -> external direction)
     fixed_val = np.zeros(nvar)
     if fixed_prim is not None:
         for fid in np.nonzero(~subset)[0]:
-            name, shape, _ = tables[fid]
+            ft, meta, _, _, _ = tables[fid]
             row = engine.f_local[fid]
-            k = _flat_config(name, shape, fixed_prim[name], row)
-            if 0 <= k < sizes[fid]:
-                fixed_val[offsets[fid] + k] = 1.0
+            prim_row = {k: np.asarray(v)[row]
+                        for k, v in fixed_prim[ft.name].items()}
+            fixed_val[offsets[fid]: offsets[fid] + sizes[fid]] = \
+                ft.lp_fix(prim_row, meta)
 
     new_index = -np.ones(nvar, dtype=np.int64)
     inside_vars = np.nonzero(var_inside)[0]
@@ -129,13 +106,12 @@ def solve_ilp(engine, subset=None, fixed_prim=None, time_limit=None):
     prim = {name: {k: np.array(v) for k, v in blk.items()}
             for name, blk in (fixed_prim or engine.init_primal()).items()}
     for fid in np.nonzero(subset)[0]:
-        name, shape, _ = tables[fid]
+        ft, meta, _, _, _ = tables[fid]
         row = engine.f_local[fid]
         o = offsets[fid]
         block = x[new_index[o]: new_index[o] + sizes[fid]]
-        k = int(np.argmax(block))
-        for key, lab in _labels_from_flat(name, shape, k).items():
-            prim[name][key][row] = lab
+        for key, lab in ft.lp_read(block, meta).items():
+            prim[ft.name][key][row] = lab
     obj = engine.evaluate_primal(prim)
     return prim, float(obj)
 

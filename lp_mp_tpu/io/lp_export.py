@@ -2,55 +2,41 @@
 
 Counterpart of ``LP_external_solver`` / DD_ILP's ``problem_export``
 (LP_external_interface.hxx:22-83, exercised by test/test_model.cpp:40-48):
-every factor contributes a probability simplex over its configurations,
-every message contributes the marginalization constraints gluing its two
-endpoint simplices, and the objective is the current (reparametrized) cost
-— whose LP value is invariant under the zero-sum message shifts, which
-makes this module a strong correctness oracle for the whole engine.
+every factor contributes a block of [0,1] variables with intra-factor
+equality rows (simplexes, arithmetic encodings), every message contributes
+coupling equalities gluing its two endpoint blocks, and the objective is
+the current (reparametrized) cost — whose LP value is invariant under the
+zero-sum message shifts, which makes this module a strong correctness
+oracle for the whole engine.
+
+The per-type constraint construction lives on the types themselves —
+``FactorType.lp_vars/lp_fix/lp_read`` and ``MessageType.lp_coupling`` —
+mirroring the reference, where every factor/message implements
+``construct_constraints``/``load_costs``/``convert_primal``
+(LP_MP.h:104-116, factors_messages.hxx:3441-3619).  All four model
+families (MRF, multicut, graph matching, tomography) export.
 
 Two consumers: ``export_lp_text`` writes CPLEX .lp format;
-``solve_lp_relaxation`` solves the same LP with scipy/HiGHS.
+``solve_lp_relaxation`` solves the same LP with scipy/HiGHS.  ``io/ilp``
+reuses the identical constraint system for exact MILP solves.
 """
 from __future__ import annotations
 
 import numpy as np
 
-SUPPORTED_FACTORS = {"unary_simplex", "pairwise_simplex", "pairwise_potts",
-                     "ternary_simplex"}
-
 
 def _factor_tables(engine):
-    """Per factor id: (name, config shape, flat cost vector).  Potts factors
-    are densified; padded lanes are dropped via the stored sizes."""
+    """Per factor id: (ftype, meta, flat costs, intra rows, intra rhs) from
+    the per-type lp_vars hooks, on the current reparametrization."""
     out = []
     state = {k: {kk: np.asarray(vv) for kk, vv in v.items()}
              for k, v in engine.state.items()}
     for fid, (ft, data) in enumerate(engine.graph.factors):
         row = engine.f_local[fid]
-        name = ft.name
-        if name == "unary_simplex":
-            nl = int(state[name]["nl"][row])
-            c = state[name]["c"][row, :nl]
-            out.append((name, (nl,), c.ravel()))
-        elif name == "pairwise_simplex":
-            n1 = int(state[name]["n1"][row])
-            n2 = int(state[name]["n2"][row])
-            c = state[name]["c"][row, :n1, :n2]
-            out.append((name, (n1, n2), c.ravel()))
-        elif name == "pairwise_potts":
-            nl = int(state[name]["nl"][row])
-            m1 = state[name]["msg1"][row, :nl]
-            m2 = state[name]["msg2"][row, :nl]
-            diff = state[name]["diff"][row]
-            c = m1[:, None] + m2[None, :] + diff * (1.0 - np.eye(nl))
-            out.append((name, (nl, nl), c.ravel()))
-        elif name == "ternary_simplex":
-            sh = np.shape(data)
-            c = state[name]["c"][row][tuple(slice(0, s) for s in sh)]
-            out.append((name, sh, c.ravel()))
-        else:
-            raise NotImplementedError(
-                f"LP export does not support factor type {name!r}")
+        state_row = {k: v[row] for k, v in state[ft.name].items()}
+        costs, rows, rhs, meta = ft.lp_vars(state_row, data)
+        out.append((ft, meta, np.asarray(costs, dtype=np.float64),
+                    rows, rhs))
     return out
 
 
@@ -59,66 +45,34 @@ def build_local_polytope(engine):
     tables = _factor_tables(engine)
     offsets = []
     total = 0
-    for (_, shape, c) in tables:
+    for (_, _, c, _, _) in tables:
         offsets.append(total)
-        total += int(np.prod(shape))
-    cost = np.concatenate([c for (_, _, c) in tables]) if tables else np.zeros(0)
+        total += len(c)
+    cost = (np.concatenate([c for (_, _, c, _, _) in tables])
+            if tables else np.zeros(0))
 
     rows: list[dict[int, float]] = []
     b: list[float] = []
-    # simplex constraint per factor
-    for fid, (_, shape, _) in enumerate(tables):
-        n = int(np.prod(shape))
-        rows.append({offsets[fid] + k: 1.0 for k in range(n)})
-        b.append(1.0)
+    # intra-factor constraints (simplexes etc.)
+    for fid, (_, _, _, frows, frhs) in enumerate(tables):
+        o = offsets[fid]
+        for r, rv in zip(frows, frhs):
+            rows.append({o + k: v for k, v in r.items()})
+            b.append(rv)
 
-    # marginalization constraints per message
+    # coupling constraints per message
     for (mt, l, r, data) in engine.graph.messages:
-        lname, lsh, _ = tables[l]
-        rname, rsh, _ = tables[r]
+        lmeta = tables[l][1]
+        rmeta = tables[r][1]
         lo, ro = offsets[l], offsets[r]
-        name = mt.name
-        if name in ("unary_pairwise_1", "unary_potts_1",
-                    "unary_pairwise_2", "unary_potts_2"):
-            side = 1 if name.endswith("_1") else 2
-            L = lsh[0]
-            n1, n2 = rsh
-            for lab in range(L):
-                row = {lo + lab: 1.0}
-                if side == 1:
-                    for l2 in range(n2):
-                        row[ro + lab * n2 + l2] = row.get(ro + lab * n2 + l2, 0.0) - 1.0
-                else:
-                    for l1 in range(n1):
-                        row[ro + l1 * n2 + lab] = row.get(ro + l1 * n2 + lab, 0.0) - 1.0
-                rows.append(row)
-                b.append(0.0)
-        elif name.startswith("pairwise_triplet_"):
-            # pairwise (a,b) == triplet marginal over the remaining axis
-            pair = name[-2:]
-            n1, n2 = lsh
-            t1, t2, t3 = rsh
-            for a in range(n1):
-                for bb in range(n2):
-                    row = {lo + a * n2 + bb: 1.0}
-                    if pair == "12":
-                        idxs = [(a, bb, k) for k in range(t3)]
-                    elif pair == "13":
-                        idxs = [(a, k, bb) for k in range(t2)]
-                    else:
-                        idxs = [(k, a, bb) for k in range(t1)]
-                    for (x, y, z) in idxs:
-                        j = ro + (x * t2 + y) * t3 + z
-                        row[j] = row.get(j, 0.0) - 1.0
-                    rows.append(row)
-                    b.append(0.0)
-        elif name == "equality":
-            li, ri = int(data[0]), int(data[1])
-            rows.append({lo + li: 1.0, ro + ri: -1.0})
-            b.append(0.0)
-        else:
-            raise NotImplementedError(
-                f"LP export does not support message type {name!r}")
+        for (lc, rc, rhs) in mt.lp_coupling(lmeta, rmeta, data):
+            row: dict[int, float] = {}
+            for k, v in lc.items():
+                row[lo + k] = row.get(lo + k, 0.0) + v
+            for k, v in rc.items():
+                row[ro + k] = row.get(ro + k, 0.0) + v
+            rows.append(row)
+            b.append(rhs)
     return cost, rows, b, offsets
 
 

@@ -100,5 +100,13 @@ class UnaryCountingMessage(MessageType):
         r = right_primal["x"][ridx, data["pos"]]
         return (l >= 0) & (l == r)
 
+    # -- constraint export: unary marginal == counting slot marginal -------
+    def lp_coupling(self, lmeta, rmeta, data):
+        L = lmeta[0]
+        nv, nl, S, _ = rmeta
+        pos = int(data)
+        return [({lab: 1.0}, {pos * nl + lab: -1.0}, 0.0)
+                for lab in range(min(L, nl))]
+
 
 UNARY_COUNTING = UnaryCountingMessage()

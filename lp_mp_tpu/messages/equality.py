@@ -48,6 +48,10 @@ class EqualityMessage(MessageType):
         c = costs["c"]
         return {**costs, "c": c.at[idx, data["li"]].add(delta)}
 
+    def lp_coupling(self, lmeta, rmeta, data):
+        li, ri = int(data[0]), int(data[1])
+        return [({li: 1.0}, {ri: -1.0}, 0.0)]
+
     def repam_right(self, costs, idx, delta, data):
         c = costs["c"]
         return {**costs, "c": c.at[idx, data["ri"]].add(delta)}

@@ -68,6 +68,11 @@ class MulticutEdgeTripletMessage(MessageType):
         l = left_primal["x"][lidx]
         return (l >= 0) & (l == right_primal[self._key()][ridx])
 
+    # -- constraint export: edge cut indicator == sum of triplet configs
+    # cutting this slot (triplet config 0 = all-uncut) ---------------------
+    def lp_coupling(self, lmeta, rmeta, data):
+        return [({1: 1.0}, {1 + int(k): -1.0 for k in self.cut_rows}, 0.0)]
+
 
 class MulticutEdgeWheelMessage(MessageType):
     """Edge <-> odd-3-wheel, one type per K4 edge slot
@@ -119,6 +124,9 @@ class MulticutEdgeWheelMessage(MessageType):
     def consistent(self, left_primal, right_primal, lidx, ridx, data):
         l = left_primal["x"][lidx]
         return (l >= 0) & (l == right_primal[self._key()][ridx])
+
+    def lp_coupling(self, lmeta, rmeta, data):
+        return [({1: 1.0}, {1 + int(k): -1.0 for k in self.cut_rows}, 0.0)]
 
 
 MULTICUT_EDGE_TRIPLET_0 = MulticutEdgeTripletMessage(0)

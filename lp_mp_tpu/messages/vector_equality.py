@@ -64,5 +64,9 @@ class VectorEqualityMessage(MessageType):
         r = right_primal["x"][ridx]
         return (l >= 0) & (l == r)
 
+    def lp_coupling(self, lmeta, rmeta, data):
+        assert lmeta[0] == rmeta[0]
+        return [({lab: 1.0}, {lab: -1.0}, 0.0) for lab in range(lmeta[0])]
+
 
 VECTOR_EQUALITY = VectorEqualityMessage()

@@ -124,12 +124,17 @@ class MulticutConstructor:
     def _reparametrized_edge_costs(self, engine) -> dict[tuple[int, int], float]:
         c = np.asarray(engine.state[MULTICUT_EDGE.name]["c"])
         n_known = len(engine.f_local)
+        keys = list(self.edges)
+        fids = np.fromiter((ref.fid for ref in self.edges.values()),
+                           dtype=np.int64, count=len(keys))
         # edges created later in the same tighten round (triangulation
         # chords) are not in the engine yet; their reparametrized cost is
         # their original (zero) cost
-        return {key: (float(c[engine.f_local[ref.fid]])
-                      if ref.fid < n_known else self.edge_cost[key])
-                for key, ref in self.edges.items()}
+        known = fids < n_known
+        vals = np.fromiter((self.edge_cost[k] for k in keys),
+                           dtype=np.float64, count=len(keys))
+        vals[known] = c[engine.f_local[fids[known]]]
+        return dict(zip(keys, vals.tolist()))
 
     def _reparametrized_triplet_costs(self, engine):
         # triplets added by cycle separation in THIS tighten round are not
@@ -210,21 +215,41 @@ class MulticutConstructor:
             added += 1
         return added
 
-    def tighten(self, engine, max_constraints: int, eps: float = 1e-8) -> int:
+    def tighten(self, engine, max_constraints: int, eps: float = 1e-8,
+                max_candidates: "int | None" = None) -> int:
         """Violated-cycle separation + fan triangulation; once cycles dry
-        up, odd-3-wheel separation takes over with the remaining budget."""
+        up, odd-3-wheel separation takes over with the remaining budget.
+        ``max_candidates`` caps the BFS to the most-negative edges (large
+        instances: the cycle search is host-side, once per tighten round)."""
         if max_constraints <= 0:
             return 0
         costs = self._reparametrized_edge_costs(engine)
         pos = [(i, j, w) for (i, j), w in costs.items() if w > eps]
-        g = Graph(self.n_nodes, pos)
+        neg = [(w, i, j) for (i, j), w in costs.items() if w < -eps]
+        if max_candidates is not None and len(neg) > max_candidates:
+            neg.sort()
+            neg = neg[:max_candidates]
         candidates = []
-        for (i, j), w in costs.items():
-            if w < -eps:
+        from .. import native
+        batched = None
+        if neg and pos:
+            arr = np.asarray(pos)
+            batched = native.bfs_paths(
+                self.n_nodes, arr[:, 0].astype(np.int64),
+                arr[:, 1].astype(np.int64), arr[:, 2],
+                np.asarray([q[1] for q in neg], dtype=np.int64),
+                np.asarray([q[2] for q in neg], dtype=np.int64), eps)
+        if batched is not None:
+            paths, bns = batched
+            for (w, i, j), path, bn in zip(neg, paths, bns):
+                if path:
+                    candidates.append((min(-w, float(bn)), (i, j), path))
+        else:
+            g = Graph(self.n_nodes, pos)
+            for w, i, j in neg:
                 bottleneck, path = bfs_path(g, i, j, threshold=eps)
                 if path:
-                    gain = min(-w, bottleneck)
-                    candidates.append((gain, (i, j), path))
+                    candidates.append((min(-w, bottleneck), (i, j), path))
         candidates.sort(key=lambda x: -x[0])
         added = 0
         for gain, (i, j), path in candidates:

@@ -67,6 +67,11 @@ def get_lib():
     lib.lpmp_bfs_path.argtypes = [ctypes.c_int, ctypes.c_int, i64p, i64p, f64p,
                                   ctypes.c_int, ctypes.c_int, ctypes.c_double,
                                   i64p, ctypes.c_int]
+    lib.lpmp_bfs_paths.restype = ctypes.c_int64
+    lib.lpmp_bfs_paths.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p, i64p,
+                                   f64p, ctypes.c_int64, i64p, i64p,
+                                   ctypes.c_double, ctypes.c_int64, i64p,
+                                   i64p, f64p]
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     lib.lpmp_levelize.restype = ctypes.c_int64
     lib.lpmp_levelize.argtypes = [ctypes.c_int64, i64p, ctypes.c_int64,
@@ -146,6 +151,30 @@ def bfs_path(n: int, us, vs, ws, src: int, dst: int, threshold: float):
         return []
     assert r > 0
     return [int(x) for x in out[:r]]
+
+
+def bfs_paths(n: int, us, vs, ws, srcs, dsts, threshold: float,
+              max_len: int = 256):
+    """Batched BFS path queries over one thresholded graph (adjacency built
+    once).  Returns (paths: list of node lists ([] = none/too long),
+    bottlenecks [k]) or None when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    us = np.ascontiguousarray(us, dtype=np.int64)
+    vs = np.ascontiguousarray(vs, dtype=np.int64)
+    ws = np.ascontiguousarray(ws, dtype=np.float64)
+    srcs = np.ascontiguousarray(srcs, dtype=np.int64)
+    dsts = np.ascontiguousarray(dsts, dtype=np.int64)
+    k = len(srcs)
+    out_paths = np.zeros(k * max_len, dtype=np.int64)
+    out_lens = np.zeros(k, dtype=np.int64)
+    out_bn = np.zeros(k, dtype=np.float64)
+    lib.lpmp_bfs_paths(n, len(us), us, vs, ws, k, srcs, dsts, threshold,
+                       max_len, out_paths, out_lens, out_bn)
+    paths = [out_paths[q * max_len: q * max_len + out_lens[q]].tolist()
+             for q in range(k)]
+    return paths, out_bn
 
 
 def levelize_csr(order, indptr, indices, updated):
