@@ -290,10 +290,13 @@ class Engine:
         # scan path: O(1) compile in n_phases; only shared-update semantics
         # (partition modes coerce their block passes to shared internally)
         scan_ok = update_mode not in ("residual", "adaptive")
+        self._scan_dirs: dict = {}
+        self._restricted_fns: dict = {}
         for d in (Direction.forward, Direction.backward):
             nph = len(self.plans[d])
             use_scan = scan_ok and nph > 0 and (
                 pass_style == "scan" or (pass_style == "auto" and nph > 16))
+            self._scan_dirs[d] = use_scan
             if use_scan:
                 self._pass_fns[d] = maybe_jit(
                     self._make_pass_scan(self.plans[d], primal=False))
@@ -403,7 +406,7 @@ class Engine:
 
     # ------------------------------------------------------------------
     def _make_pass(self, plans: list[_PhasePlan], primal: bool,
-                   update_mode: str = "shared"):
+                   update_mode: str = "shared", restricted: bool = False):
         msgs = self.msgs
         ftypes = self.ftypes
         n_factors = self.graph.n_factors
@@ -518,9 +521,36 @@ class Engine:
 
             # --- primal: argmin on the post-receive reparametrization ------
             if primal:
+                src = state
+                if restricted:
+                    # one-sided restricted receives (OneSideMessageContainer-
+                    # View, factors_messages.hxx:513-566): condition a throw-
+                    # away view on already-fixed sender primals; the argmin
+                    # reads the view, the duals never see it (functional
+                    # equivalent of the save/restore at fm.hxx:2343-2356)
+                    cond = dict(state)
+                    for name, ids in plan.recv_left:
+                        blk = msgs[name]
+                        mt = blk.mtype
+                        sl = _gather(state[mt.right_type.name], blk.ridx[ids])
+                        pr = _gather(prim[mt.right_type.name], blk.ridx[ids])
+                        d = _gather(blk.data, ids)
+                        delta = mt.restricted_marginal_right(sl, pr, d)
+                        cond[mt.left_type.name] = mt.repam_left(
+                            cond[mt.left_type.name], blk.lidx[ids], delta, d)
+                    for name, ids in plan.recv_right:
+                        blk = msgs[name]
+                        mt = blk.mtype
+                        sl = _gather(state[mt.left_type.name], blk.lidx[ids])
+                        pr = _gather(prim[mt.left_type.name], blk.lidx[ids])
+                        d = _gather(blk.data, ids)
+                        delta = mt.restricted_marginal_left(sl, pr, d)
+                        cond[mt.right_type.name] = mt.repam_right(
+                            cond[mt.right_type.name], blk.ridx[ids], delta, d)
+                    src = cond
                 for tname, rows in plan.factor_rows.items():
                     ft = ftypes[tname]
-                    cs = _gather(state[tname], rows)
+                    cs = _gather(src[tname], rows)
                     ps = _gather(prim[tname], rows)
                     newp = ft.compute_primal(cs, ps)
                     prim[tname] = {k: prim[tname][k].at[rows].set(newp[k])
@@ -591,7 +621,8 @@ class Engine:
         return run
 
     # ------------------------------------------------------------------
-    def _make_pass_scan(self, plans: list[_PhasePlan], primal: bool):
+    def _make_pass_scan(self, plans: list[_PhasePlan], primal: bool,
+                        restricted: bool = False):
         """Scan-driven sweep: one compiled body per (message type x op kind)
         driven by ``lax.scan`` over stacked, padded per-phase index tensors —
         compile time is O(1) in the number of phases (VERDICT r2 item 1; the
@@ -707,10 +738,39 @@ class Engine:
                     state = apply_delta(state, name, ids, delta, from_left)
 
                 if primal:
+                    src = state
+                    if restricted:
+                        # conditioned throwaway view (see _make_pass)
+                        cond = dict(state)
+                        for name in rl_n:
+                            ids = x[f"{name}|rl"]
+                            blk = msgs[name]
+                            mt = blk.mtype
+                            ri = ridx_pad[name][ids]
+                            sl = _gather(state[mt.right_type.name], ri)
+                            pr = _gather(prim[mt.right_type.name], ri)
+                            d = _gather(blk.data, ids)
+                            delta = mt.restricted_marginal_right(sl, pr, d)
+                            cond[mt.left_type.name] = mt.repam_left(
+                                cond[mt.left_type.name],
+                                lidx_pad[name][ids], delta, d)
+                        for name in rr_n:
+                            ids = x[f"{name}|rr"]
+                            blk = msgs[name]
+                            mt = blk.mtype
+                            li = lidx_pad[name][ids]
+                            sl = _gather(state[mt.left_type.name], li)
+                            pr = _gather(prim[mt.left_type.name], li)
+                            d = _gather(blk.data, ids)
+                            delta = mt.restricted_marginal_left(sl, pr, d)
+                            cond[mt.right_type.name] = mt.repam_right(
+                                cond[mt.right_type.name],
+                                ridx_pad[name][ids], delta, d)
+                        src = cond
                     for tname in fr_n:
                         rows = x[f"{tname}|fr"]
                         ft = ftypes[tname]
-                        newp = ft.compute_primal(_gather(state[tname], rows),
+                        newp = ft.compute_primal(_gather(src[tname], rows),
                                                  _gather(prim[tname], rows))
                         prim[tname] = {k: prim[tname][k].at[rows].set(newp[k])
                                        for k in prim[tname]}
@@ -1010,13 +1070,26 @@ class Engine:
         return {name: self.ftypes[name].init_primal(block)
                 for name, block in self.state.items()}
 
-    def compute_pass_and_primal(self, mode, direction: Direction) -> dict:
+    def compute_pass_and_primal(self, mode, direction: Direction,
+                                restricted: bool = False) -> dict:
         """Rounding pass: fresh primal, interleaved with the sweep
         (LP_MP.h:913-940; the reference's timestamp lazy-init is a fresh
-        init per pass)."""
+        init per pass).  ``restricted=True`` conditions each factor's argmin
+        on one-sided restricted messages from already-fixed neighbors
+        (factors_messages.hxx:513-566 rounding semantics); the dual sweep is
+        unchanged either way."""
         prim = self.init_primal()
-        self.state, prim = self._primal_fns[direction](
-            self.state, prim, self.weights(mode, direction))
+        if restricted:
+            if direction not in self._restricted_fns:
+                mk = self._make_pass_scan if self._scan_dirs[direction] \
+                    else self._make_pass
+                self._restricted_fns[direction] = self._maybe_jit(
+                    mk(self.plans[direction], primal=True, restricted=True))
+            fn = self._restricted_fns[direction]
+        else:
+            fn = self._primal_fns[direction]
+        self.state, prim = fn(self.state, prim,
+                              self.weights(mode, direction))
         return prim
 
     def lower_bound(self) -> float:

@@ -23,7 +23,12 @@ import numpy as np
 from ..config import MessageSchedule
 from ..factors.potts import PAIRWISE_POTTS, PairwisePottsType
 from ..factors.simplex import PAIRWISE_SIMPLEX, UNARY_SIMPLEX
-from ..registry import MessageType, mask_pad
+from ..registry import RESTRICT_BIG, MessageType, mask_pad
+
+
+def _valid_lanes(width: int, nl: jnp.ndarray) -> jnp.ndarray:
+    """[M, width] bool mask of in-range label lanes given per-row counts."""
+    return jnp.arange(width)[None, :] < nl[:, None]
 
 
 def fit_width(delta: jnp.ndarray, width: int) -> jnp.ndarray:
@@ -44,6 +49,18 @@ class _UnaryPairwiseBase(MessageType):
 
     def marginal_left(self, left_costs, data):
         return mask_pad(left_costs["c"])
+
+    def restricted_marginal_left(self, left_costs, left_primal, data):
+        """Unary marginal conditioned on its fixed label: labels other than
+        the fixed one get RESTRICT_BIG (ReceiveRestrictedMessageFromLeft on a
+        simplex factor)."""
+        c = left_costs["c"]
+        x = left_primal["x"]
+        lanes = jnp.arange(c.shape[1])[None, :]
+        pen = jnp.where(lanes == x[:, None], 0.0, RESTRICT_BIG)
+        pen = jnp.where(_valid_lanes(c.shape[1], left_costs["nl"]), pen, 0.0)
+        base = mask_pad(c)
+        return jnp.where((x >= 0)[:, None], base + pen, base)
 
     def repam_left(self, costs, idx, delta, data):
         c = costs["c"]
@@ -95,6 +112,28 @@ class UnaryPairwiseMessage(_UnaryPairwiseBase):
         other_axis = 2 if self.side == 1 else 1
         return mask_pad(jnp.min(right_costs["c"], axis=other_axis))
 
+    def restricted_marginal_right(self, right_costs, right_primal, data):
+        """Pairwise min-marginal conditioned on fixed endpoints: the minimum
+        over the other axis is restricted to the fixed other-side label, and
+        message-axis labels inconsistent with a fixed own-side label get
+        RESTRICT_BIG."""
+        c = right_costs["c"]
+        x_own = right_primal["x1" if self.side == 1 else "x2"]
+        x_oth = right_primal["x2" if self.side == 1 else "x1"]
+        other_axis = 2 if self.side == 1 else 1
+        oth_lanes = jnp.arange(c.shape[other_axis])
+        oth_lanes = oth_lanes[None, None, :] if self.side == 1 \
+            else oth_lanes[None, :, None]
+        x_oth_b = x_oth[:, None, None]
+        pen = jnp.where((x_oth_b >= 0) & (oth_lanes != x_oth_b),
+                        RESTRICT_BIG, 0.0)
+        mm = mask_pad(jnp.min(c + pen, axis=other_axis))
+        own_lanes = jnp.arange(mm.shape[1])[None, :]
+        own_pen = jnp.where(own_lanes == x_own[:, None], 0.0, RESTRICT_BIG)
+        nl_own = right_costs["n1" if self.side == 1 else "n2"]
+        own_pen = jnp.where(_valid_lanes(mm.shape[1], nl_own), own_pen, 0.0)
+        return jnp.where((x_own >= 0)[:, None], mm + own_pen, mm)
+
     def repam_right(self, costs, idx, delta, data):
         c = costs["c"]
         if self.side == 1:
@@ -117,6 +156,27 @@ class UnaryPottsMessage(_UnaryPairwiseBase):
 
     def marginal_right(self, right_costs, data):
         return mask_pad(PairwisePottsType.marginal(right_costs, self.side))
+
+    def restricted_marginal_right(self, right_costs, right_primal, data):
+        """Compact-Potts conditioned marginal: with the other side fixed at
+        b0, mm(a) = own(a) + other(b0) + diff*[a != b0]; a fixed own-side
+        label adds RESTRICT_BIG off its lane."""
+        own = right_costs["msg1" if self.side == 1 else "msg2"]
+        other = right_costs["msg2" if self.side == 1 else "msg1"]
+        diff = right_costs["diff"][:, None]
+        x_own = right_primal["x1" if self.side == 1 else "x2"]
+        x_oth = right_primal["x2" if self.side == 1 else "x1"]
+        lanes = jnp.arange(own.shape[1])[None, :]
+        oth_val = jnp.take_along_axis(
+            other, jnp.maximum(x_oth, 0)[:, None], axis=1)
+        cond = own + oth_val + jnp.where(lanes == x_oth[:, None], 0.0, diff)
+        base = jnp.where((x_oth >= 0)[:, None], cond,
+                         PairwisePottsType.marginal(right_costs, self.side))
+        base = mask_pad(base)
+        own_pen = jnp.where(lanes == x_own[:, None], 0.0, RESTRICT_BIG)
+        own_pen = jnp.where(_valid_lanes(own.shape[1], right_costs["nl"]),
+                            own_pen, 0.0)
+        return jnp.where((x_own >= 0)[:, None], base + own_pen, base)
 
     def repam_right(self, costs, idx, delta, data):
         key = "msg1" if self.side == 1 else "msg2"

@@ -38,6 +38,12 @@ def mask_pad(delta: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(jnp.abs(delta) >= PAD_COST / 2, jnp.zeros_like(delta), delta)
 
 
+# Soft-infinite penalty used by restricted (primal-conditioned) marginals:
+# dominates any real cost but stays far below PAD_COST so mask_pad never
+# confuses a conditioning penalty with a padded lane.
+RESTRICT_BIG = 1e9
+
+
 class FactorType:
     """Batched factor type. Subclasses are stateless singletons.
 
@@ -147,6 +153,23 @@ class MessageType:
     def marginal_right(self, right_costs: dict, data: dict) -> jnp.ndarray:
         """[M, D...] min-marginal the RIGHT factor pushes (send_message_to_left)."""
         raise NotImplementedError
+
+    # -- restricted (primal-conditioned) marginals --------------------------
+    # One-sided restricted messages for rounding (OneSideMessageContainerView,
+    # factors_messages.hxx:513-566): the sender's min-marginal conditioned on
+    # its already-fixed primal entries (hard RESTRICT_BIG penalties on labels
+    # inconsistent with the fixed primal; unconditioned where unset).  The
+    # engine applies these to a throwaway conditioned view used only for the
+    # receiving factor's argmin — the TPU-functional equivalent of the
+    # reference's one-sided shift + dual save/restore
+    # (factors_messages.hxx:2343-2356).
+    def restricted_marginal_left(self, left_costs: dict, left_primal: dict,
+                                 data: dict) -> jnp.ndarray:
+        return self.marginal_left(left_costs, data)
+
+    def restricted_marginal_right(self, right_costs: dict, right_primal: dict,
+                                  data: dict) -> jnp.ndarray:
+        return self.marginal_right(right_costs, data)
 
     # -- reparametrization scatters ---------------------------------------
     def repam_left(self, costs: dict, idx: jnp.ndarray, delta: jnp.ndarray, data: dict) -> dict:

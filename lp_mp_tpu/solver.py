@@ -28,7 +28,7 @@ class Solver:
                  reparametrization_type: str = "shared",
                  inner_iteration: int = 5,
                  exact_rounding: "str | None" = None,
-                 pass_style: str = "auto"):
+                 pass_style: str = "auto", rounding: str = "mp"):
         self.graph = FactorGraph()
         self.visitor = visitor if visitor is not None else StandardVisitor()
         self.schedule_mode = schedule_mode
@@ -41,6 +41,11 @@ class Solver:
         # (solver.hxx:529-546 SAT rounding) or "combilp" (combiLP.hxx:92-271)
         assert exact_rounding in (None, "ilp", "combilp")
         self.exact_rounding = exact_rounding
+        # rounding mode: "mp" = post-receive argmin; "restricted" = argmin
+        # conditioned on one-sided restricted messages from fixed neighbors
+        # (factors_messages.hxx:513-566)
+        assert rounding in ("mp", "restricted")
+        self.rounding = rounding
         self.constructors: list[Any] = []
         self.engine: "Engine | None" = None
         self.lower_bound_: float = float("-inf")
@@ -127,9 +132,12 @@ class Solver:
             # PreIterate + Iterate (solver.hxx:267-275)
             if c.compute_primal:
                 # MpRoundingSolver::Iterate (solver.hxx:387-397)
-                prim = self.engine.compute_pass_and_primal(c.repam, Direction.forward)
+                restr = self.rounding == "restricted"
+                prim = self.engine.compute_pass_and_primal(
+                    c.repam, Direction.forward, restricted=restr)
                 self.register_primal(prim)
-                prim = self.engine.compute_pass_and_primal(c.repam, Direction.backward)
+                prim = self.engine.compute_pass_and_primal(
+                    c.repam, Direction.backward, restricted=restr)
                 self.register_primal(prim)
                 # ProblemConstructorRoundingSolver hook (solver.hxx:402-481):
                 # constructors with their own ComputePrimal also get a shot
