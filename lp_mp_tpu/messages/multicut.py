@@ -129,7 +129,185 @@ class MulticutEdgeWheelMessage(MessageType):
         return [({1: 1.0}, {1 + int(k): -1.0 for k in self.cut_rows}, 0.0)]
 
 
+class MulticutEdgeWheelKMessage(MessageType):
+    """Edge <-> odd-k-wheel message.  Unlike the K4 slot-per-type scheme,
+    one type covers all 2k edge slots of the wheel: the slot index is
+    per-message *data*, marginals are computed for every slot at once
+    (MulticutWheelKType.slot_marginals) and gathered — 2 jit ops per wheel
+    type instead of 2k message types."""
+
+    left_type = MULTICUT_EDGE
+    schedule = MessageSchedule.left()
+
+    def __init__(self, k: int):
+        from ..factors.multicut import wheel_k_type
+        self.k = k
+        self.right_type = wheel_k_type(k)
+        self.name = f"multicut_edge_wheel_k{k}"
+
+    def build(self, instances):
+        return {"slot": np.asarray(list(instances), dtype=np.int32)}
+
+    def build_block(self, batch):
+        return {"slot": np.asarray(batch, dtype=np.int32)}
+
+    def item_data(self, block, i):
+        return int(block["slot"][i])
+
+    # -- marginals -----------------------------------------------------------
+    def marginal_left(self, left_costs, data):
+        return mask_pad(left_costs["c"][:, None])
+
+    def marginal_right(self, right_costs, data):
+        allm = self.right_type.slot_marginals(right_costs)      # [M, 2k]
+        sel = jnp.take_along_axis(allm, data["slot"][:, None].astype(jnp.int32),
+                                  axis=1)
+        return mask_pad(sel)
+
+    def repam_left(self, costs, idx, delta, data):
+        return {**costs, "c": costs["c"].at[idx].add(delta[:, 0])}
+
+    def repam_right(self, costs, idx, delta, data):
+        k = self.k
+        s = data["slot"]
+        d = delta[:, 0]
+        sp = costs["sp"].at[idx, jnp.clip(s, 0, k - 1)].add(
+            jnp.where(s < k, d, 0.0))
+        rim = costs["rim"].at[idx, jnp.clip(s - k, 0, k - 1)].add(
+            jnp.where(s >= k, d, 0.0))
+        return {**costs, "sp": sp, "rim": rim}
+
+    # -- primal ----------------------------------------------------------
+    def propagate_primal_l2r(self, left_primal, right_primal, lidx, ridx, data):
+        e = right_primal["e"].at[ridx, data["slot"]].set(
+            left_primal["x"][lidx])
+        return {**right_primal, "e": e}
+
+    def propagate_primal_r2l(self, left_primal, right_primal, lidx, ridx, data):
+        v = right_primal["e"][ridx, data["slot"]]
+        cur = left_primal["x"][lidx]
+        return {**left_primal,
+                "x": left_primal["x"].at[lidx].set(jnp.where(v >= 0, v, cur))}
+
+    def consistent(self, left_primal, right_primal, lidx, ridx, data):
+        l = left_primal["x"][lidx]
+        return (l >= 0) & (l == right_primal["e"][ridx, data["slot"]])
+
+    # -- constraint export: edge cut == sum of wheel configs cutting slot --
+    def lp_coupling(self, lmeta, rmeta, data):
+        cut = np.nonzero(rmeta[:, int(data)] == 1)[0]
+        return [({1: 1.0}, {int(j): -1.0 for j in cut}, 0.0)]
+
+
+class MulticutTripletWheelKMessage(MessageType):
+    """Hub-triangle triplet <-> odd-k-wheel message over the triplet's
+    4-pattern space (reference multicut_triplet_odd_3_wheel_message
+    analogue): moves dual mass between the cycle-tightening triplets and
+    the wheel — without it the wheel can only drain the (often fully
+    reparametrized) edge factors and odd-wheel tightening stalls.
+
+    Per-message data: ``slot`` = rim position i of the triangle
+    (hub, v_i, v_{i+1}); ``pw`` [4] maps wheel-order pattern rows
+    (spoke_i, spoke_j, rim_i) to triplet-order rows (the triplet's slots
+    follow its sorted node key); ``pt`` [4] is the inverse; ``eperm`` [3]
+    maps the triplet's edge positions to wheel slot ids (for primal)."""
+
+    left_type = MULTICUT_TRIPLET
+    schedule = MessageSchedule.left()
+
+    def __init__(self, k: int):
+        from ..factors.multicut import wheel_k_type
+        self.k = k
+        self.right_type = wheel_k_type(k)
+        self.name = f"multicut_triplet_wheel_k{k}"
+
+    def build(self, instances):
+        items = list(instances)
+        return {"slot": np.asarray([it["slot"] for it in items], np.int32),
+                "pw": np.asarray([it["pw"] for it in items], np.int32),
+                "pt": np.asarray([it["pt"] for it in items], np.int32),
+                "eperm": np.asarray([it["eperm"] for it in items], np.int32)}
+
+    def item_data(self, block, i):
+        return {"slot": int(block["slot"][i]),
+                "pw": np.asarray(block["pw"][i]),
+                "pt": np.asarray(block["pt"][i]),
+                "eperm": np.asarray(block["eperm"][i])}
+
+    # -- marginals: [M, 4] over the triplet's pattern order ----------------
+    def marginal_left(self, left_costs, data):
+        return mask_pad(left_costs["c"])
+
+    def marginal_right(self, right_costs, data):
+        allm = self.right_type.tri_marginals(right_costs)       # [M, k, 4]
+        mw = jnp.take_along_axis(
+            allm, data["slot"][:, None, None].astype(jnp.int32),
+            axis=1)[:, 0, :]                                    # wheel order
+        mt = jnp.take_along_axis(mw, data["pt"], axis=1)        # triplet order
+        return mask_pad(mt)
+
+    def repam_left(self, costs, idx, delta, data):
+        return {**costs, "c": costs["c"].at[idx].add(delta)}
+
+    def repam_right(self, costs, idx, delta, data):
+        dw = jnp.take_along_axis(delta, data["pw"], axis=1)     # wheel order
+        tri = costs["tri"].at[idx, data["slot"]].add(dw)
+        return {**costs, "tri": tri}
+
+    # -- primal --------------------------------------------------------------
+    def propagate_primal_l2r(self, left_primal, right_primal, lidx, ridx, data):
+        vals = jnp.stack([left_primal[f"e{t}"][lidx] for t in (1, 2, 3)],
+                         axis=1)
+        e = right_primal["e"].at[ridx[:, None], data["eperm"]].set(vals)
+        return {**right_primal, "e": e}
+
+    def propagate_primal_r2l(self, left_primal, right_primal, lidx, ridx, data):
+        out = dict(left_primal)
+        for t in (1, 2, 3):
+            v = right_primal["e"][ridx, data["eperm"][:, t - 1]]
+            cur = out[f"e{t}"][lidx]
+            out[f"e{t}"] = out[f"e{t}"].at[lidx].set(
+                jnp.where(v >= 0, v, cur))
+        return out
+
+    def consistent(self, left_primal, right_primal, lidx, ridx, data):
+        ok = jnp.ones(np.shape(lidx)[0], dtype=bool)
+        for t in (1, 2, 3):
+            l = left_primal[f"e{t}"][lidx]
+            r = right_primal["e"][ridx, data["eperm"][:, t - 1]]
+            ok &= (l >= 0) & (l == r)
+        return ok
+
+    # -- constraint export: triplet config == sum of wheel configs whose
+    # bits on the triangle's 3 wheel slots realize the same pattern ---------
+    def lp_coupling(self, lmeta, rmeta, data):
+        eperm = np.asarray(data["eperm"])
+        rows = []
+        bits_all = rmeta[:, eperm]                              # [C, 3]
+        # triplet var 0 = all-uncut; vars 1..4 = TRIPLET_PATTERNS rows
+        for r in range(-1, 4):
+            bits = np.zeros(3, np.int64) if r < 0 else TRIPLET_PATTERNS[r]
+            hit = np.nonzero((bits_all == bits).all(axis=1))[0]
+            rows.append(({r + 1: 1.0}, {int(j): -1.0 for j in hit}, 0.0))
+        return rows
+
+
 MULTICUT_EDGE_TRIPLET_0 = MulticutEdgeTripletMessage(0)
 MULTICUT_EDGE_TRIPLET_1 = MulticutEdgeTripletMessage(1)
 MULTICUT_EDGE_TRIPLET_2 = MulticutEdgeTripletMessage(2)
 MULTICUT_EDGE_WHEEL = tuple(MulticutEdgeWheelMessage(s) for s in range(6))
+
+_WHEEL_K_MSG_CACHE: dict[int, MulticutEdgeWheelKMessage] = {}
+_TRI_WHEEL_K_MSG_CACHE: dict[int, MulticutTripletWheelKMessage] = {}
+
+
+def wheel_k_message(k: int) -> MulticutEdgeWheelKMessage:
+    if k not in _WHEEL_K_MSG_CACHE:
+        _WHEEL_K_MSG_CACHE[k] = MulticutEdgeWheelKMessage(k)
+    return _WHEEL_K_MSG_CACHE[k]
+
+
+def triplet_wheel_k_message(k: int) -> MulticutTripletWheelKMessage:
+    if k not in _TRI_WHEEL_K_MSG_CACHE:
+        _TRI_WHEEL_K_MSG_CACHE[k] = MulticutTripletWheelKMessage(k)
+    return _TRI_WHEEL_K_MSG_CACHE[k]
