@@ -28,7 +28,10 @@ class Solver:
                  reparametrization_type: str = "shared",
                  inner_iteration: int = 5,
                  exact_rounding: "str | None" = None,
-                 pass_style: str = "auto", rounding: str = "mp"):
+                 pass_style: str = "auto", rounding: str = "mp",
+                 tree_decomposition: "list | None" = None,
+                 tree_decomposition_begin: "int | None" = None,
+                 tree_layout: str = "zero_sum"):
         self.graph = FactorGraph()
         self.visitor = visitor if visitor is not None else StandardVisitor()
         self.schedule_mode = schedule_mode
@@ -46,6 +49,14 @@ class Solver:
         # (factors_messages.hxx:513-566)
         assert rounding in ("mp", "restricted")
         self.rounding = rounding
+        # --treeDecompositionBegin (tree_decomposition.hxx:918-929): after
+        # N message-passing iterations, switch to subgradient ascent over
+        # the given tree decomposition, continuing from the reparametrized
+        # duals; primal rounds write the decomposition back into the engine
+        self.tree_decomposition = tree_decomposition
+        self.tree_decomposition_begin = tree_decomposition_begin
+        self.tree_layout = tree_layout
+        self._tree_state: "dict | None" = None
         self.constructors: list[Any] = []
         self.engine: "Engine | None" = None
         self.lower_bound_: float = float("-inf")
@@ -124,12 +135,62 @@ class Solver:
         return added
 
     # ------------------------------------------------------------------
+    def _tree_iterate(self, c) -> None:
+        """One subgradient-ascent step over the tree decomposition
+        (LP_subgradient_ascent::ComputePass semantics after the
+        --treeDecompositionBegin switch)."""
+        import jax.numpy as jnp
+
+        from .trees_general import GeneralTreeDecomposition, _tdot, _tmap
+        ts = self._tree_state
+        if ts is None:
+            dec = GeneralTreeDecomposition(self.graph, self.tree_decomposition,
+                                           layout=self.tree_layout)
+            dec.load_duals(self.engine)
+            ts = self._tree_state = {
+                "dec": dec, "w": dec.zeros_like_w(), "k": 0,
+                "best": float("-inf"), "best_w": None}
+        dec, w = ts["dec"], ts["w"]
+        bound, prim, _ = dec.solve(dec.to_dual(w))
+        val = float(jnp.sum(bound))
+        if val > ts["best"]:
+            ts["best"], ts["best_w"] = val, w
+        g = dec.pullback(dec._indicator(prim))
+        gnorm = float(_tdot(g, g))
+        if gnorm > 1e-14:
+            ub = self.best_primal_cost
+            if np.isfinite(ub) and ub > val:
+                alpha = (ub - val) / gnorm          # Polyak
+            else:
+                alpha = 1.0 / np.sqrt(ts["k"] + 1.0)
+            ts["w"] = _tmap(lambda wi, gi: wi + alpha * gi, w, g)
+        ts["k"] += 1
+        if c.compute_primal:
+            # write the best decomposition back into the engine and round
+            # there (write_back keeps bound, tree_decomposition.hxx:970-988)
+            dec.write_back_reparametrization(
+                self.engine, dec.to_dual(ts["best_w"]
+                                         if ts["best_w"] is not None else w))
+            prim = self.engine.compute_pass_and_primal(
+                c.repam, Direction.forward,
+                restricted=self.rounding == "restricted")
+            self.register_primal(prim)
+        self.lower_bound_ = max(self.lower_bound_, ts["best"])
+
+    # ------------------------------------------------------------------
     def solve(self) -> float:
         if self.engine is None:
             self.build_engine()
         c = self.visitor.begin(self.engine)
         while not (c.end or c.error):
             # PreIterate + Iterate (solver.hxx:267-275)
+            if (self.tree_decomposition is not None
+                    and self.tree_decomposition_begin is not None
+                    and self.visitor.cur_iter >= self.tree_decomposition_begin):
+                self._tree_iterate(c)
+                c = self.visitor.visit(c, self.lower_bound_,
+                                       self.best_primal_cost)
+                continue
             if c.compute_primal:
                 # MpRoundingSolver::Iterate (solver.hxx:387-397)
                 restr = self.rounding == "restricted"
@@ -170,7 +231,16 @@ class Solver:
                 self.tighten(c.tighten_constraints)
             c = self.visitor.visit(c, self.lower_bound_, self.best_primal_cost)
 
+        if self._tree_state is not None:
+            # final write-back of the best decomposition (End semantics)
+            ts = self._tree_state
+            if ts["best_w"] is not None:
+                ts["dec"].write_back_reparametrization(
+                    self.engine, ts["dec"].to_dual(ts["best_w"]))
         self.lower_bound_ = self.engine.lower_bound() + self.aux.lower_bound()
+        if self._tree_state is not None:
+            self.lower_bound_ = max(self.lower_bound_,
+                                    self._tree_state["best"])
         self.visitor.end(self.lower_bound_, self.best_primal_cost)
         return self.lower_bound_
 

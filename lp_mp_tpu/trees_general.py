@@ -76,7 +76,7 @@ class GeneralTreeDecomposition:
     """Lagrangean decomposition of a FactorGraph into arbitrary trees."""
 
     def __init__(self, graph: FactorGraph, trees: list, layout: str = "zero_sum"):
-        assert layout in ("zero_sum", "star", "fwmap")
+        assert layout in ("zero_sum", "star", "fwmap", "quadratic")
         self.layout = layout
         self.orig = graph
         n_orig = graph.n_factors
@@ -227,6 +227,25 @@ class GeneralTreeDecomposition:
                     per[name] = rows
             self._depth_rows.append({k: np.asarray(v) for k, v in per.items()})
 
+        # all (i, j) clone-row pairs within each original factor's copy set
+        # (Lagrangean_factor_quadratic, tree_decomposition.hxx:277-585: one
+        # multiplier block per copy pair; w_ij enters copy i as +w and copy
+        # j as -w, so the consensus subspace is parameterized redundantly)
+        self._pairs = {}
+        for name, fids in self.eng._type_fids.items():
+            grp = self.clone2orig[fids]
+            rows_of: dict[int, list[int]] = {}
+            for i, g2 in enumerate(grp):
+                rows_of.setdefault(int(g2), []).append(i)
+            pi, pj = [], []
+            for rows in rows_of.values():
+                for a in range(len(rows)):
+                    for b in range(a + 1, len(rows)):
+                        pi.append(rows[a])
+                        pj.append(rows[b])
+            self._pairs[name] = (np.asarray(pi, dtype=np.int64),
+                                 np.asarray(pj, dtype=np.int64))
+
         self._solve_jit = jax.jit(self._solve_impl)
         self._n_orig = n_orig
 
@@ -282,15 +301,53 @@ class GeneralTreeDecomposition:
             return jnp.where(hub_b, jnp.zeros_like(v), hubval[grp] - v)
         return self._with_dual(go)(g)
 
+    def quad_to_dual(self, w):
+        """Quadratic layout (Lagrangean_factor_quadratic, t_d.hxx:277-585):
+        one multiplier block per copy pair; lam(i) = sum_j>i w_ij
+        - sum_j<i w_ji.  Lies in the zero-sum subspace by construction."""
+        out = {}
+        for name, blk in w.items():
+            pi, pj = self._pairs[name]
+            n_rows = next(iter(self.base[name].values())).shape[0]
+            out[name] = {}
+            for k, v in blk.items():
+                z = jnp.zeros((n_rows,) + v.shape[1:], v.dtype)
+                out[name][k] = z.at[pi].add(v).at[pj].add(-v)
+        return out
+
+    def quad_pullback(self, g):
+        """d(bound)/dw_ij = g(copy i) - g(copy j)."""
+        out = {}
+        for name, blk in g.items():
+            pi, pj = self._pairs[name]
+            out[name] = {k: v[pi] - v[pj] for k, v in blk.items()}
+        return out
+
+    def zeros_like_w(self):
+        """Zero multipliers in LAYOUT coordinates (pair blocks for
+        quadratic; clone-dual shaped otherwise)."""
+        if self.layout != "quadratic":
+            return self.zeros_like_dual()
+        out = {}
+        for name, blk in self.base.items():
+            pi, _ = self._pairs[name]
+            out[name] = {k: jnp.zeros((len(pi),) + v.shape[1:], v.dtype)
+                         for k, v in blk.items() if _is_dual(v)}
+        return out
+
     def to_dual(self, w):
         if self.layout == "star":
             return self.star_to_dual(w)
+        if self.layout == "quadratic":
+            return self.quad_to_dual(w)
         # zero_sum / fwmap (shared block): consensus by projection
         return self.project(w)
 
     def pullback(self, g):
         if self.layout == "star":
             return self.star_pullback(g)
+        if self.layout == "quadratic":
+            return self.quad_pullback(g)
         return self.project(g)
 
     def n_multipliers(self) -> int:
@@ -308,6 +365,8 @@ class GeneralTreeDecomposition:
                 total += per_row * int(np.sum(k - 1))
             elif self.layout == "fwmap":
                 total += per_row * len(k)
+            elif self.layout == "quadratic":
+                total += per_row * int(np.sum(k * (k - 1) // 2))
             else:
                 total += per_row * int(np.sum(k))
         return total
@@ -424,7 +483,7 @@ class GeneralTreeDecomposition:
         """Projected/Polyak subgradient ascent on the chosen layout
         (LP_subgradient_ascent, tree_decomposition.hxx:998-1029)."""
         if w is None:
-            w = self.zeros_like_dual()
+            w = self.zeros_like_w()
 
         @jax.jit
         def grad_at(w):
@@ -511,6 +570,31 @@ class GeneralTreeDecomposition:
                     if len(rows) > 1 and len(np.unique(a[rows])) > 1:
                         agree = False
         return out, agree
+
+    # ------------------------------------------------------------------
+    def load_duals(self, engine: Engine) -> None:
+        """Rebuild the divided base duals from an engine's CURRENT
+        reparametrization — the --treeDecompositionBegin mid-run engine
+        switch (tree_decomposition.hxx:918-929): message passing runs
+        first, then the decomposition continues from the reparametrized
+        costs it produced."""
+        for name, blk in self.base.items():
+            fids = self.eng._type_fids[name]
+            src_rows = engine.f_local[self.clone2orig[fids]]
+            m = self.mult[self.clone2orig[fids]]
+            for k, v in blk.items():
+                if not _is_dual(v):
+                    continue
+                src = jnp.asarray(engine.state[name][k])[src_rows]
+                if src.shape[1:] != v.shape[1:]:
+                    pads = [(0, 0)] + [(0, c - s) for s, c in
+                                       zip(src.shape[1:], v.shape[1:])]
+                    src = jnp.pad(src, pads, constant_values=PAD_COST)
+                mb = jnp.asarray(m, dtype=v.dtype).reshape(
+                    (-1,) + (1,) * (v.ndim - 1))
+                blk[k] = jnp.where(jnp.abs(v) >= PAD_COST / 2, v, src / mb)
+        # self.base is baked into the previous trace as a constant
+        self._solve_jit = jax.jit(self._solve_impl)
 
     # ------------------------------------------------------------------
     def write_back_reparametrization(self, engine: Engine, lam=None) -> None:

@@ -190,3 +190,51 @@ def test_potts_factors_enter_decomposition():
         c += sum(diff[k] * (x[k] != x[k + 1]) for k in range(2))
         best = min(best, c)
     assert abs(val - best) < 1e-5
+
+
+def test_quadratic_layout_reaches_optimum():
+    """Lagrangean_factor_quadratic layout (tree_decomposition.hxx:277-585):
+    one multiplier block per copy pair, redundant parameterization of the
+    consensus subspace."""
+    g, trees = build_test_model()
+    dec = GeneralTreeDecomposition(g, trees, layout="quadratic")
+    # f1 has 3 copies -> C(3,2)=3 pair blocks of size 2
+    assert dec.n_multipliers() == 3 * 2
+    rng = np.random.RandomState(5)
+    w0 = {name: {k: 2.0 * rng.randn(*np.shape(v)).astype(np.asarray(v).dtype)
+                 for k, v in blk.items()}
+          for name, blk in dec.zeros_like_w().items()}
+    start = float(np.sum(np.asarray(dec.solve(dec.to_dual(w0))[0])))
+    assert start < 1.0 - 1e-3       # genuinely suboptimal start
+    best, _, _ = dec.subgradient_ascent(n_iter=300, ub_estimate=1.0, w=w0)
+    assert 1.0 - 1e-3 <= best <= 1.0 + 1e-6
+    # quadratic duals always satisfy the zero-sum consensus constraint
+    lam = dec.to_dual(w0)
+    proj = dec.project(lam)
+    for name in lam:
+        for k in lam[name]:
+            np.testing.assert_allclose(np.asarray(lam[name][k]),
+                                       np.asarray(proj[name][k]),
+                                       rtol=1e-5, atol=1e-5)
+
+
+def test_tree_decomposition_begin_mid_run_switch():
+    """--treeDecompositionBegin (tree_decomposition.hxx:918-929): message
+    passing first, then the Solver switches to subgradient ascent over the
+    decomposition loaded from the current reparametrization."""
+    from lp_mp_tpu import Solver
+    from lp_mp_tpu.visitors import StandardVisitor
+
+    g, trees = build_test_model()
+    # no interleaved rounding: MP solves this model at iteration 0, so the
+    # run must outlive the gap check to demonstrate the switch itself
+    s = Solver(visitor=StandardVisitor(max_iter=40,
+                                       primal_computation_start=2 ** 60),
+               tree_decomposition=trees, tree_decomposition_begin=5,
+               tree_layout="zero_sum")
+    s.graph = g
+    lb = s.solve()
+    assert s._tree_state is not None and s._tree_state["k"] > 0
+    assert 1.0 - 1e-3 <= lb <= 1.0 + 1e-5   # optimum of the 3-tree model
+    # write-back preserved the bound on the engine (test_FWMAP.cpp:20-21)
+    assert s.engine.lower_bound() >= lb - 1e-4
