@@ -182,7 +182,10 @@ class GridPottsModel:
     # VMEM-fused kernel (ops/pallas_grid.phase_update_v2); ~25x the XLA
     # path on the 1000x1000 benchmark (bench.py reports both).
     # ------------------------------------------------------------------
-    def _pallas_geom(self, tile_rows: int = 8):
+    def _pallas_geom(self, tile_rows: int = 48):
+        # TH=48 measured best on hardware: 2195 it/s vs 880 at TH=8 — the
+        # (TH+16)/TH halo read amplification drops from 3.0x to 1.33x
+        # (bench/profile_pallas_out.jsonl, slope-timed with true fences)
         H, W, L = self.H, self.W, self.L
         P = 2
         Wp = ((W + 2 + 127) // 128) * 128

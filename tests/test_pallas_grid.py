@@ -5,10 +5,12 @@ Pallas interpret mode on CPU: identical results to a jnp implementation of
 the same mask-form phase for every mode/color combination, on several
 geometries (including ragged bottom blocks where the center offset is 3).
 
-On-hardware execution is currently gated by an axon-stack instability
-(Mosaic kernels fault after any pure-XLA executable has run in the same
-process); the production path stays on the XLA implementation in
-models/grid_potts.py until the runtime stabilizes.
+On hardware the production path is ``phase_update_v2`` (pipelined halo
+blocks, no manual DMA), dispatched by GridPottsModel.run_fast(kernel=
+"pallas") and measured by bench.py / bench/profile_pallas.py; the v1
+manual-DMA kernel below is kept only as an interpret-mode cross-check of
+the same math (its dynamic-offset DMA hangs on the axon tunnel,
+bench/pallas_dma_hang.md).
 """
 import jax
 import jax.numpy as jnp
