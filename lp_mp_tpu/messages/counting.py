@@ -41,7 +41,27 @@ class UnaryCountingMessage(MessageType):
     def marginal_left(self, left_costs, data):
         return mask_pad(left_costs["c"])
 
+    def restricted_marginal_left(self, left_costs, left_primal, data):
+        from .equality import condition_simplex
+        return mask_pad(condition_simplex(
+            left_costs["c"], left_costs.get("nl"), left_primal["x"]))
+
+    def restricted_marginal_right(self, right_costs, right_primal, data):
+        """Chain-side marginal conditioned on fixed chain-variable primals:
+        RESTRICT_BIG off each fixed variable's label lane in ``lam``, then
+        the identical fwd/bwd min-conv DP."""
+        from .equality import condition_simplex
+        lam = right_costs["lam"]
+        M, V, L = lam.shape
+        x = right_primal["x"]                       # [M, V]
+        lam = condition_simplex(
+            lam.reshape(M * V, L), None, x.reshape(M * V)).reshape(M, V, L)
+        return self._chain_marginal({**right_costs, "lam": lam}, data)
+
     def marginal_right(self, right_costs, data):
+        return self._chain_marginal(right_costs, data)
+
+    def _chain_marginal(self, right_costs, data):
         lam, proj = right_costs["lam"], right_costs["proj"]
         pos = data["pos"]
         M, V, L = lam.shape

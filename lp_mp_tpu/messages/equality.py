@@ -18,7 +18,20 @@ import numpy as np
 from ..config import MessageSchedule
 from ..factors.simplex import UNARY_SIMPLEX
 from ..ops.reductions import min_except_index
-from ..registry import MessageType
+from ..registry import RESTRICT_BIG, MessageType
+
+
+def condition_simplex(c, nl, x):
+    """[M, L] simplex costs with RESTRICT_BIG off a fixed label's lane
+    (valid lanes only, so padded lanes are never perturbed); x = -1 keeps
+    the costs untouched (OneSideMessageContainerView conditioning,
+    factors_messages.hxx:513-566)."""
+    lanes = jnp.arange(c.shape[1])[None, :]
+    valid = lanes < nl[:, None] if nl is not None \
+        else jnp.ones_like(lanes, bool)
+    pen = jnp.where((x[:, None] >= 0) & (lanes != x[:, None]) & valid,
+                    RESTRICT_BIG, 0.0)
+    return c + pen
 
 
 class EqualityMessage(MessageType):
@@ -43,6 +56,17 @@ class EqualityMessage(MessageType):
 
     def marginal_right(self, right_costs, data):
         return self._marginal(right_costs, data["ri"])
+
+    # -- restricted (primal-conditioned) marginals ------------------------
+    def restricted_marginal_left(self, left_costs, left_primal, data):
+        c = condition_simplex(left_costs["c"], left_costs.get("nl"),
+                              left_primal["x"])
+        return min_except_index(c, data["li"])
+
+    def restricted_marginal_right(self, right_costs, right_primal, data):
+        c = condition_simplex(right_costs["c"], right_costs.get("nl"),
+                              right_primal["x"])
+        return min_except_index(c, data["ri"])
 
     def repam_left(self, costs, idx, delta, data):
         c = costs["c"]

@@ -17,7 +17,41 @@ from ..config import MessageSchedule
 from ..factors.multicut import (MULTICUT_EDGE, MULTICUT_ODD_WHEEL,
                                 MULTICUT_TRIPLET, ODD_WHEEL_PATTERNS,
                                 TRIPLET_PATTERNS)
-from ..registry import MessageType, mask_pad
+from ..registry import RESTRICT_BIG, MessageType, mask_pad
+
+
+def _edge_restricted(base, x):
+    """Edge-side restricted delta (OneSideMessageContainerView on a binary
+    cut variable, factors_messages.hxx:513-566): a fixed x=0 makes the cut
+    branch RESTRICT_BIG dearer, a fixed x=1 the uncut branch — the marginal
+    is cut-minus-uncut so the penalty enters with sign."""
+    pen = jnp.where(x == 0, RESTRICT_BIG,
+                    jnp.where(x == 1, -RESTRICT_BIG, 0.0))
+    return base + pen.reshape(pen.shape + (1,) * (base.ndim - 1))
+
+
+def _pattern_penalty(e, patterns):
+    """[M, P] RESTRICT_BIG per pattern bit inconsistent with a fixed primal
+    bit; ``e`` [M, S] with -1 = unset, ``patterns`` [P, S]."""
+    viol = (e[:, None, :] >= 0) & (e[:, None, :] != patterns[None])
+    return RESTRICT_BIG * jnp.sum(viol, axis=2).astype(jnp.float32)
+
+
+def _zero_penalty(e):
+    """[M] penalty of the implicit all-uncut config under fixed bits."""
+    return RESTRICT_BIG * jnp.sum(e == 1, axis=1).astype(jnp.float32)
+
+
+def _wheel_conditioned(costs, e, k):
+    """Wheel-k cost block conditioned on fixed edge primals ``e`` [M, 2k]:
+    each fixed slot shifts its cut-vs-uncut price by RESTRICT_BIG so every
+    pattern violating a fixed bit loses any min by >= BIG; per-slot the
+    shift is a constant over the factor's labelings on the uncut side, so
+    relative costs (hence argmin and marginal differences) are exact."""
+    sgn = (e == 0).astype(jnp.float32) - (e == 1).astype(jnp.float32)
+    return {**costs,
+            "sp": costs["sp"] + RESTRICT_BIG * sgn[:, :k],
+            "rim": costs["rim"] + RESTRICT_BIG * sgn[:, k:]}
 
 
 class MulticutEdgeTripletMessage(MessageType):
@@ -40,6 +74,21 @@ class MulticutEdgeTripletMessage(MessageType):
         c = right_costs["c"]
         cut = jnp.min(c[:, self.cut_rows], axis=1)
         uncut = jnp.minimum(jnp.min(c[:, self.uncut_rows], axis=1), 0.0)
+        return mask_pad((cut - uncut)[:, None])
+
+    # -- restricted (primal-conditioned) marginals ------------------------
+    def restricted_marginal_left(self, left_costs, left_primal, data):
+        return _edge_restricted(mask_pad(left_costs["c"][:, None]),
+                                left_primal["x"])
+
+    def restricted_marginal_right(self, right_costs, right_primal, data):
+        c = right_costs["c"]
+        e = jnp.stack([right_primal["e1"], right_primal["e2"],
+                       right_primal["e3"]], axis=1)
+        cz = c + _pattern_penalty(e, jnp.asarray(TRIPLET_PATTERNS))
+        cut = jnp.min(cz[:, self.cut_rows], axis=1)
+        uncut = jnp.minimum(jnp.min(cz[:, self.uncut_rows], axis=1),
+                            _zero_penalty(e))
         return mask_pad((cut - uncut)[:, None])
 
     def repam_left(self, costs, idx, delta, data):
@@ -97,6 +146,20 @@ class MulticutEdgeWheelMessage(MessageType):
         c = right_costs["c"]
         cut = jnp.min(c[:, self.cut_rows], axis=1)
         uncut = jnp.minimum(jnp.min(c[:, self.uncut_rows], axis=1), 0.0)
+        return mask_pad((cut - uncut)[:, None])
+
+    # -- restricted (primal-conditioned) marginals ------------------------
+    def restricted_marginal_left(self, left_costs, left_primal, data):
+        return _edge_restricted(mask_pad(left_costs["c"][:, None]),
+                                left_primal["x"])
+
+    def restricted_marginal_right(self, right_costs, right_primal, data):
+        c = right_costs["c"]
+        e = jnp.stack([right_primal[f"e{s}"] for s in range(1, 7)], axis=1)
+        cz = c + _pattern_penalty(e, jnp.asarray(ODD_WHEEL_PATTERNS))
+        cut = jnp.min(cz[:, self.cut_rows], axis=1)
+        uncut = jnp.minimum(jnp.min(cz[:, self.uncut_rows], axis=1),
+                            _zero_penalty(e))
         return mask_pad((cut - uncut)[:, None])
 
     def repam_left(self, costs, idx, delta, data):
@@ -160,6 +223,22 @@ class MulticutEdgeWheelKMessage(MessageType):
 
     def marginal_right(self, right_costs, data):
         allm = self.right_type.slot_marginals(right_costs)      # [M, 2k]
+        sel = jnp.take_along_axis(allm, data["slot"][:, None].astype(jnp.int32),
+                                  axis=1)
+        return mask_pad(sel)
+
+    # -- restricted (primal-conditioned) marginals ------------------------
+    def restricted_marginal_left(self, left_costs, left_primal, data):
+        return _edge_restricted(mask_pad(left_costs["c"][:, None]),
+                                left_primal["x"])
+
+    def restricted_marginal_right(self, right_costs, right_primal, data):
+        # condition the per-slot cut costs on fixed wheel-edge primals:
+        # +BIG on the cut branch where e=0, -BIG (i.e. +BIG on the uncut
+        # branch, a per-factor constant shift that cannot change its argmin)
+        # where e=1 — then reuse the factor's exact slot-marginal DP
+        cond = _wheel_conditioned(right_costs, right_primal["e"], self.k)
+        allm = self.right_type.slot_marginals(cond)
         sel = jnp.take_along_axis(allm, data["slot"][:, None].astype(jnp.int32),
                                   axis=1)
         return mask_pad(sel)
@@ -244,6 +323,22 @@ class MulticutTripletWheelKMessage(MessageType):
             allm, data["slot"][:, None, None].astype(jnp.int32),
             axis=1)[:, 0, :]                                    # wheel order
         mt = jnp.take_along_axis(mw, data["pt"], axis=1)        # triplet order
+        return mask_pad(mt)
+
+    # -- restricted (primal-conditioned) marginals ------------------------
+    def restricted_marginal_left(self, left_costs, left_primal, data):
+        c = left_costs["c"]
+        e = jnp.stack([left_primal[f"e{s}"] for s in (1, 2, 3)], axis=1)
+        pen = _pattern_penalty(e, jnp.asarray(TRIPLET_PATTERNS))
+        return mask_pad(c) + pen - _zero_penalty(e)[:, None]
+
+    def restricted_marginal_right(self, right_costs, right_primal, data):
+        cond = _wheel_conditioned(right_costs, right_primal["e"], self.k)
+        allm = self.right_type.tri_marginals(cond)
+        mw = jnp.take_along_axis(
+            allm, data["slot"][:, None, None].astype(jnp.int32),
+            axis=1)[:, 0, :]
+        mt = jnp.take_along_axis(mw, data["pt"], axis=1)
         return mask_pad(mt)
 
     def repam_left(self, costs, idx, delta, data):

@@ -13,7 +13,16 @@ import jax.numpy as jnp
 
 from ..config import MessageSchedule
 from ..factors.simplex import PAIRWISE_SIMPLEX, TERNARY_SIMPLEX
-from ..registry import MessageType, mask_pad
+from ..registry import RESTRICT_BIG, MessageType, mask_pad
+
+
+def _axis_penalty(shape_len, axis, L, x):
+    """RESTRICT_BIG off lane ``x`` along ``axis`` of a [M, ...] tensor;
+    x = -1 contributes nothing."""
+    lanes = jnp.arange(L).reshape((1,) + tuple(
+        L if a == axis else 1 for a in range(1, shape_len)))
+    xb = x.reshape((-1,) + (1,) * (shape_len - 1))
+    return jnp.where((xb >= 0) & (lanes != xb), RESTRICT_BIG, 0.0)
 
 
 def _fit2(delta: jnp.ndarray, d1: int, d2: int) -> jnp.ndarray:
@@ -46,6 +55,19 @@ class PairwiseTripletMessage(MessageType):
 
     def marginal_right(self, right_costs, data):
         return mask_pad(jnp.min(right_costs["c"], axis=self.out_axis))
+
+    # -- restricted (primal-conditioned) marginals ------------------------
+    def restricted_marginal_left(self, left_costs, left_primal, data):
+        c = left_costs["c"]
+        pen = (_axis_penalty(3, 1, c.shape[1], left_primal["x1"])
+               + _axis_penalty(3, 2, c.shape[2], left_primal["x2"]))
+        return mask_pad(c) + pen
+
+    def restricted_marginal_right(self, right_costs, right_primal, data):
+        c = right_costs["c"]
+        pen = sum(_axis_penalty(4, a, c.shape[a], right_primal[f"x{a}"])
+                  for a in (1, 2, 3))
+        return mask_pad(jnp.min(c + pen, axis=self.out_axis))
 
     def repam_left(self, costs, idx, delta, data):
         c = costs["c"]

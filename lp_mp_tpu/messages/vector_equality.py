@@ -40,6 +40,18 @@ class VectorEqualityMessage(MessageType):
     def marginal_right(self, right_costs, data):
         return self._marginal(right_costs)
 
+    # -- restricted (primal-conditioned) marginals ------------------------
+    def _restricted(self, costs, primal):
+        from .equality import condition_simplex
+        c = condition_simplex(costs["c"], costs.get("nl"), primal["x"])
+        return mask_pad(c - jnp.min(c, axis=1, keepdims=True))
+
+    def restricted_marginal_left(self, left_costs, left_primal, data):
+        return self._restricted(left_costs, left_primal)
+
+    def restricted_marginal_right(self, right_costs, right_primal, data):
+        return self._restricted(right_costs, right_primal)
+
     def repam_left(self, costs, idx, delta, data):
         return {**costs, "c": costs["c"].at[idx].add(delta)}
 
