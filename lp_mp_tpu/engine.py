@@ -287,19 +287,21 @@ class Engine:
         self._primal_fns = {}
         maybe_jit = jax.jit if use_jit else (lambda f: f)
         self._maybe_jit = maybe_jit
-        # scan path: O(1) compile in n_phases; only shared-update semantics
-        # (partition modes coerce their block passes to shared internally)
-        scan_ok = update_mode not in ("residual", "adaptive")
+        # scan path: O(1) compile in n_phases; all update modes (residual
+        # resend sub-rounds and adaptive reweighting run inside the scan
+        # body over padded per-rank id tensors; partition modes coerce
+        # their block passes to shared internally)
         self._scan_dirs: dict = {}
         self._restricted_fns: dict = {}
         for d in (Direction.forward, Direction.backward):
             nph = len(self.plans[d])
-            use_scan = scan_ok and nph > 0 and (
+            use_scan = nph > 0 and (
                 pass_style == "scan" or (pass_style == "auto" and nph > 16))
             self._scan_dirs[d] = use_scan
             if use_scan:
                 self._pass_fns[d] = maybe_jit(
-                    self._make_pass_scan(self.plans[d], primal=False))
+                    self._make_pass_scan(self.plans[d], primal=False,
+                                         update_mode=update_mode))
                 self._primal_fns[d] = maybe_jit(
                     self._make_pass_scan(self.plans[d], primal=True))
             else:
@@ -622,7 +624,8 @@ class Engine:
 
     # ------------------------------------------------------------------
     def _make_pass_scan(self, plans: list[_PhasePlan], primal: bool,
-                        restricted: bool = False):
+                        restricted: bool = False,
+                        update_mode: str = "shared"):
         """Scan-driven sweep: one compiled body per (message type x op kind)
         driven by ``lax.scan`` over stacked, padded per-phase index tensors —
         compile time is O(1) in the number of phases (VERDICT r2 item 1; the
@@ -633,10 +636,18 @@ class Engine:
         Gathers clamp (garbage values), scatters *drop* out-of-bounds rows
         (JAX default scatter semantics), so padded lanes have exactly zero
         effect — every endpoint array gets an explicit out-of-bounds pad
-        slot.  Supports ``shared`` update semantics (the residual/adaptive
-        resend sub-rounds keep the unrolled path).
+        slot.  All update modes run under the scan (VERDICT r3 item 5):
+        ``residual`` unrolls the rank-grouped resend sub-rounds
+        (send_messages_residual, factors_messages.hxx:2959-3007) inside the
+        body over padded per-rank id tensors; ``adaptive`` reweights the
+        sends per sending factor via padded segment sums
+        (send_messages_with_adaptive_weights, fm.hxx:2859-2926), with
+        padded lanes routed to a dummy segment.
         """
         msgs, ftypes = self.msgs, self.ftypes
+        n_factors = self.graph.n_factors
+        if primal:
+            update_mode = "shared"
         n_phases = len(plans)
 
         # per-name endpoint arrays with a pad slot -> out-of-bounds row
@@ -656,6 +667,8 @@ class Engine:
         def put(kind, p, name, ids):
             slots.setdefault((name, kind), [None] * n_phases)[p] = ids
 
+        max_ranks = max((len(p.resend) for p in plans), default=0) \
+            if update_mode == "residual" else 0
         for p, plan in enumerate(plans):
             for name, ids in plan.recv_left:
                 put("rl", p, name, ids)
@@ -665,6 +678,11 @@ class Engine:
                 put("sl", p, name, ids)
             for name, ids, _ in plan.send_right:
                 put("sr", p, name, ids)
+            if update_mode == "residual":
+                for rank, group in enumerate(plan.resend):
+                    for name, ids, from_left in group:
+                        put(f"q{rank}{'l' if from_left else 'r'}",
+                            p, name, ids)
             if primal:
                 for tname, rows in plan.factor_rows.items():
                     put("fr", p, tname, rows)
@@ -693,7 +711,20 @@ class Engine:
         sl_n, sr_n = names_for("sl"), names_for("sr")
         fr_n = [t for t in ftypes if (t, "fr") in slots]
         pl_n, pr_n = names_for("pl"), names_for("pr")
+        resend_kinds = [[(n, k) for n in msgs
+                         for k in (f"q{rank}l", f"q{rank}r")
+                         if (n, k) in slots]
+                        for rank in range(max_ranks)]
         unupdated = self._unupdated_rows
+
+        # sending-factor gids with a dummy pad segment (adaptive reweights)
+        if update_mode == "adaptive":
+            fgl_pad = {name: jnp.asarray(np.append(blk.lfid, n_factors)
+                                         .astype(np.int32))
+                       for name, blk in msgs.items()}
+            fgr_pad = {name: jnp.asarray(np.append(blk.rfid, n_factors)
+                                         .astype(np.int32))
+                       for name, blk in msgs.items()}
 
         def apply_delta(state, name, ids, delta, from_left):
             blk = msgs[name]
@@ -776,27 +807,109 @@ class Engine:
                                        for k in prim[tname]}
 
                 # sends: all deltas from one post-receive snapshot
-                ops = []
-                for name in sl_n:
-                    ids = x[f"{name}|sl"]
-                    blk = msgs[name]
-                    mt = blk.mtype
-                    sl = _gather(state[mt.left_type.name],
-                                 lidx_pad[name][ids])
-                    delta = mt.marginal_left(sl, _gather(blk.data, ids))
-                    ops.append((name, ids,
-                                _bmul(delta, w[name]["omega_left"][ids]), True))
-                for name in sr_n:
-                    ids = x[f"{name}|sr"]
-                    blk = msgs[name]
-                    mt = blk.mtype
-                    sl = _gather(state[mt.right_type.name],
-                                 ridx_pad[name][ids])
-                    delta = mt.marginal_right(sl, _gather(blk.data, ids))
-                    ops.append((name, ids,
-                                _bmul(delta, w[name]["omega_right"][ids]), False))
-                for name, ids, delta, from_left in ops:
-                    state = apply_delta(state, name, ids, delta, from_left)
+                if update_mode == "adaptive":
+                    entries = []
+                    for name, from_left in [(n, True) for n in sl_n] + \
+                            [(n, False) for n in sr_n]:
+                        ids = x[f"{name}|{'sl' if from_left else 'sr'}"]
+                        blk = msgs[name]
+                        mt = blk.mtype
+                        data = _gather(blk.data, ids)
+                        lsl = _gather(state[mt.left_type.name],
+                                      lidx_pad[name][ids])
+                        rsl = _gather(state[mt.right_type.name],
+                                      ridx_pad[name][ids])
+                        delta = (mt.marginal_left(lsl, data) if from_left
+                                 else mt.marginal_right(rsl, data))
+                        ar = jnp.arange(ids.shape[0])
+                        lb0 = ftypes[mt.left_type.name].lower_bound(lsl) \
+                            + ftypes[mt.right_type.name].lower_bound(rsl)
+                        sgn = 1.0 if from_left else -1.0
+                        l1 = mt.repam_left(lsl, ar, -sgn * delta, data)
+                        r1 = mt.repam_right(rsl, ar, sgn * delta, data)
+                        lb1 = ftypes[mt.left_type.name].lower_bound(l1) \
+                            + ftypes[mt.right_type.name].lower_bound(r1)
+                        side = "left" if from_left else "right"
+                        omega = w[name][f"omega_{side}"][
+                            jnp.minimum(ids, len(blk.gids) - 1)]
+                        fg = (fgl_pad if from_left else fgr_pad)[name][ids]
+                        impr = jnp.where(omega > 0,
+                                         jnp.maximum(lb1 - lb0, 0.0), 0.0)
+                        # padded lanes land in the dummy segment n_factors
+                        impr = jnp.where(ids < len(blk.gids), impr, 0.0)
+                        omega = jnp.where(ids < len(blk.gids), omega, 0.0)
+                        entries.append((name, ids, fg, delta, omega, impr,
+                                        from_left))
+                    all_f = jnp.concatenate([e[2] for e in entries])
+                    all_w = jnp.concatenate([e[4] for e in entries])
+                    all_i = jnp.concatenate([e[5] for e in entries])
+                    w_sum = jax.ops.segment_sum(all_w, all_f,
+                                                num_segments=n_factors + 1)
+                    i_sum = jax.ops.segment_sum(all_i, all_f,
+                                                num_segments=n_factors + 1)
+                    ops = []
+                    for name, ids, fg, delta, omega, impr, from_left in entries:
+                        denom = i_sum[fg]
+                        neww = jnp.where(
+                            denom > 0,
+                            0.5 * omega + 0.5 * w_sum[fg] * impr
+                            / jnp.where(denom > 0, denom, 1.0),
+                            omega)
+                        ops.append((name, ids, _bmul(delta, neww), from_left))
+                    for name, ids, delta, from_left in ops:
+                        state = apply_delta(state, name, ids, delta,
+                                            from_left)
+                else:
+                    ops = []
+                    for name in sl_n:
+                        ids = x[f"{name}|sl"]
+                        blk = msgs[name]
+                        mt = blk.mtype
+                        sl = _gather(state[mt.left_type.name],
+                                     lidx_pad[name][ids])
+                        delta = mt.marginal_left(sl, _gather(blk.data, ids))
+                        ops.append((name, ids,
+                                    _bmul(delta, w[name]["omega_left"][ids]),
+                                    True))
+                    for name in sr_n:
+                        ids = x[f"{name}|sr"]
+                        blk = msgs[name]
+                        mt = blk.mtype
+                        sl = _gather(state[mt.right_type.name],
+                                     ridx_pad[name][ids])
+                        delta = mt.marginal_right(sl, _gather(blk.data, ids))
+                        ops.append((name, ids,
+                                    _bmul(delta, w[name]["omega_right"][ids]),
+                                    False))
+                    for name, ids, delta, from_left in ops:
+                        state = apply_delta(state, name, ids, delta,
+                                            from_left)
+
+                # residual resend sub-rounds (rank k of every factor sees
+                # the factor's earlier resends; run_resends semantics)
+                for group in resend_kinds:
+                    ops = []
+                    for name, kind in group:
+                        ids = x[f"{name}|{kind}"]
+                        from_left = kind.endswith("l")
+                        blk = msgs[name]
+                        mt = blk.mtype
+                        if from_left:
+                            sl = _gather(state[mt.left_type.name],
+                                         lidx_pad[name][ids])
+                            delta = mt.marginal_left(sl,
+                                                     _gather(blk.data, ids))
+                            wv = w[name]["res_left"][ids]
+                        else:
+                            sl = _gather(state[mt.right_type.name],
+                                         ridx_pad[name][ids])
+                            delta = mt.marginal_right(sl,
+                                                      _gather(blk.data, ids))
+                            wv = w[name]["res_right"][ids]
+                        ops.append((name, ids, _bmul(delta, wv), from_left))
+                    for name, ids, delta, from_left in ops:
+                        state = apply_delta(state, name, ids, delta,
+                                            from_left)
 
                 if primal:
                     for name in pl_n:

@@ -135,3 +135,23 @@ def test_scan_rejects_residual_adaptive():
                 update_mode="residual")
     e2.compute_pass("anisotropic")
     assert state_allclose(e.state, e2.state)
+
+
+@pytest.mark.parametrize("umode", ["residual", "adaptive"])
+@pytest.mark.parametrize("smode", ["wavefront", "coloring"])
+def test_scan_equals_unrolled_residual_adaptive(umode, smode):
+    """residual/adaptive update modes under lax.scan == unrolled (VERDICT
+    r3 item 5: previously these silently fell back to unrolled compilation,
+    making them unusable at the scale scan was built for).  Reference:
+    send_messages_residual factors_messages.hxx:2959-3007, adaptive
+    fm.hxx:2859-2926."""
+    s, _ = random_mrf(31, n=14, extra_edges=7)
+    e_unr = Engine(s.graph, schedule_mode=smode, pass_style="unrolled",
+                   update_mode=umode)
+    e_scn = Engine(s.graph, schedule_mode=smode, pass_style="scan",
+                   update_mode=umode)
+    for it in range(3):
+        e_unr.compute_pass("anisotropic")
+        e_scn.compute_pass("anisotropic")
+        assert state_allclose(e_unr.state, e_scn.state), (umode, smode, it)
+    assert abs(e_unr.lower_bound() - e_scn.lower_bound()) < 1e-9
