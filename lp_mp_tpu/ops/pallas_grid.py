@@ -300,6 +300,180 @@ def phase_update_v2(state, hc, vc, *, geom, phase_params, interpret=False):
             "vm1": outs[3], "vm2": outs[4]}
 
 
+def _phase_kernel_sharded(row0_ref,
+                          u_m, u_c, u_p, u_t, u_b,
+                          hm1_m, hm1_c, hm1_p, hm1_t, hm1_b,
+                          hm2_m, hm2_c, hm2_p, hm2_t, hm2_b,
+                          vm1_m, vm1_c, vm1_p, vm1_t, vm1_b,
+                          vm2_m, vm2_c, vm2_p, vm2_t, vm2_b,
+                          hc_m, hc_c, hc_p, hc_t, hc_b,
+                          vc_m, vc_c, vc_p, vc_t, vc_b,
+                          u_out, hm1_out, hm2_out, vm1_out, vm2_out,
+                          *, L, Wp, H, W, P, TH, nblk,
+                          recv_color, send_color, leave):
+    """_phase_kernel_v2 on one shard's row window of the global mask form.
+
+    Two deltas vs the single-chip kernel: (1) masks are anchored at a
+    *traced* global row offset (scalar-prefetch ``row0``), because the
+    shard's block is a window of the global layout; (2) at the window
+    edges the neighbor-block halo rows come from the ``*_t``/``*_b``
+    8-row slabs (ppermuted from the adjacent shards by the caller)
+    instead of the clamped prev/next blocks.  The slabs have constant
+    index maps, so the pipeline fetches them once — read amplification
+    stays (TH+16)/TH."""
+    i = pl.program_id(0)
+
+    def halo(m, c, p, t, b):
+        prev = jnp.where(i == 0, t[:, -1:, :], m[:, -1:, :])
+        nxt = jnp.where(i == nblk - 1, b[:, :2, :], p[:, :2, :])
+        return jnp.concatenate([prev, c[...], nxt], axis=1)
+
+    f32 = jnp.float32
+    R = TH + 3
+    rows = (row0_ref[0] + i * TH - 1) + jax.lax.broadcasted_iota(
+        jnp.int32, (R, Wp), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R, Wp), 1)
+    in_rows = (rows >= P).astype(f32) * (rows < P + H).astype(f32)
+    in_cols = (cols >= 1).astype(f32) * (cols < 1 + W).astype(f32)
+    cellf = in_rows * in_cols
+    hedge = cellf * (cols < W).astype(f32)
+    vedge = cellf * (rows < P + H - 1).astype(f32)
+    parity = ((rows - P + cols - 1) % 2).astype(f32)  # 0 for black cells
+    black = cellf * (1.0 - parity)
+    red = cellf - black
+    deg = hedge + _shift_cols(hedge, 1) + vedge + _shift_rows(vedge, 1)
+
+    def color_mask(code):
+        if code == 1:
+            return black
+        if code == 2:
+            return red
+        return jnp.zeros_like(black)
+
+    recvm = color_mask(recv_color)
+    sendm = color_mask(send_color)
+    omega = sendm / jnp.maximum(deg + leave, 1.0)
+
+    u = halo(u_m, u_c, u_p, u_t, u_b)
+    hm1 = halo(hm1_m, hm1_c, hm1_p, hm1_t, hm1_b)
+    hm2 = halo(hm2_m, hm2_c, hm2_p, hm2_t, hm2_b)
+    vm1 = halo(vm1_m, vm1_c, vm1_p, vm1_t, vm1_b)
+    vm2 = halo(vm2_m, vm2_c, vm2_p, vm2_t, vm2_b)
+
+    def halo2(m, c, p, t, b):
+        prev = jnp.where(i == 0, t[-1:, :], m[-1:, :])
+        nxt = jnp.where(i == nblk - 1, b[:2, :], p[:2, :])
+        return jnp.concatenate([prev, c[...], nxt], axis=0)
+
+    hc = halo2(hc_m, hc_c, hc_p, hc_t, hc_b)
+    vc = halo2(vc_m, vc_c, vc_p, vc_t, vc_b)
+
+    e1 = _marg(hm1, hm2, hc)
+    e2 = _marg(hm2, hm1, hc)
+    v1 = _marg(vm1, vm2, vc)
+    v2 = _marg(vm2, vm1, vc)
+
+    mh1 = recvm * hedge
+    mh2 = _shift_cols(recvm, -1) * hedge
+    mv1 = recvm * vedge
+    mv2 = _shift_rows(recvm, -1) * vedge
+
+    uu = (u + e1 * mh1[None] + _shift_cols(e2 * mh2[None], 1)
+            + v1 * mv1[None] + _shift_rows(v2 * mv2[None], 1))
+    d = uu * omega[None]
+    resid = 1.0 - omega * deg
+
+    def center(x):
+        return x[:, 1:TH + 1]
+
+    u_out[...] = center(uu * resid[None] * cellf[None])
+    hm1_out[...] = center((hm1 - e1 * mh1[None] + d) * hedge[None])
+    hm2_out[...] = center((hm2 - e2 * mh2[None] + _shift_cols(d, -1)) * hedge[None])
+    vm1_out[...] = center((vm1 - v1 * mv1[None] + d) * vedge[None])
+    vm2_out[...] = center((vm2 - v2 * mv2[None] + _shift_rows(d, -1)) * vedge[None])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("geom", "phase_params", "interpret"))
+def phase_update_sharded(state, halos, hc_loc, vc_loc, cost_halos, row0, *,
+                         geom, phase_params, interpret=False):
+    """One color-phase update on a shard's Hl-row window of the mask form.
+
+    Multi-chip contract (parallel/grid.ShardedGridPotts.run_fast): the
+    shard's state block [L, Hl, Wp] stays in the base sharded layout;
+    the caller ppermutes the 8 boundary rows of each neighbor into
+    ``halos`` = dict of (top8, bot8) [L, 8, Wp] slabs (zeros at the mesh
+    edges — those logical rows are inert).  The kernel runs the v2
+    neighbor-block scheme over the window's Hl/TH blocks and swaps in
+    the slabs at the window edges; slabs have constant index maps, so
+    the pipeline fetches them once and read amplification stays
+    (TH+16)/TH.  Masks are anchored at the *traced* global row offset
+    ``row0`` (int32 [1], = shard_index * Hl in the global mask form).
+
+    ``hc_loc``/``vc_loc``: the shard's [Hl, Wp] cost rows;
+    ``cost_halos``: dict hc/vc of static (top8, bot8) cost slabs.
+    geom: (L, Hl, Wp, H, W, P, TH).
+    """
+    L, Hl, Wp, H, W, P, TH = geom
+    assert Hl % TH == 0 and TH % 8 == 0, "sublane tiling needs 8-row blocks"
+    recv_color, send_color, leave = phase_params
+    nblk = Hl // TH
+    nb8 = TH // 8
+    f32 = jnp.float32
+    kernel = functools.partial(
+        _phase_kernel_sharded, L=L, Wp=Wp, H=H, W=W, P=P, TH=TH, nblk=nblk,
+        recv_color=recv_color, send_color=send_color, leave=leave)
+
+    def prev_map(i, p):
+        return (0, jnp.maximum(i * nb8 - 1, 0), 0)
+
+    def cent_map(i, p):
+        return (0, i, 0)
+
+    def next_map(i, p):
+        return (0, jnp.minimum((i + 1) * nb8, Hl // 8 - 1), 0)
+
+    def halo_map(i, p):
+        return (0, 0, 0)
+
+    def spec5(lead):
+        if lead:
+            shapes = ((lead, 8, Wp), (lead, TH, Wp), (lead, 8, Wp),
+                      (lead, 8, Wp), (lead, 8, Wp))
+            maps = (prev_map, cent_map, next_map, halo_map, halo_map)
+            return [pl.BlockSpec(sh, m) for sh, m in zip(shapes, maps)]
+        shapes = ((8, Wp), (TH, Wp), (8, Wp), (8, Wp), (8, Wp))
+        maps = (prev_map, cent_map, next_map, halo_map, halo_map)
+        return [pl.BlockSpec(sh, lambda i, p, m=m: m(i, p)[1:])
+                for sh, m in zip(shapes, maps)]
+
+    in_specs = spec5(L) * 5 + spec5(0) * 2
+    out_sds = [jax.ShapeDtypeStruct((L, Hl, Wp), f32)] * 5
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblk,),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((L, TH, Wp), cent_map)] * 5,
+    )
+    args = []
+    for k in ("u", "hm1", "hm2", "vm1", "vm2"):
+        t, b = halos[k]
+        args += [state[k], state[k], state[k], t, b]
+    for loc, k in ((hc_loc, "hc"), (vc_loc, "vc")):
+        t, b = cost_halos[k]
+        args += [loc, loc, loc, t, b]
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_sds,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(row0, *args)
+    return {"u": outs[0], "hm1": outs[1], "hm2": outs[2],
+            "vm1": outs[3], "vm2": outs[4]}
+
+
 @functools.partial(jax.jit, static_argnames=("geom", "interpret"))
 def phase_update(params, state, hc, vc, *, geom, interpret=False):
     """One color-phase update.

@@ -69,3 +69,36 @@ def test_state_is_actually_sharded():
     assert len(sh.device_set) == 8
     sharded.iterate("anisotropic", n=1)
     assert len(sharded.state["u"].sharding.device_set) == 8
+
+
+@pytest.mark.parametrize("n_shards", [1, 2, 4, 8])
+def test_run_fast_pallas_parity(n_shards):
+    """Sharded fused Pallas path (interpret mode on CPU) must reproduce the
+    single-chip Pallas schedule bit-for-bit: the halo exchange delivers the
+    same neighbor rows the single-chip kernel reads (VERDICT r3 item 3)."""
+    Hh, Ww, Ll = 21, 13, 3
+    u, hc, vc = random_grid(Hh, Ww, Ll, seed=11)
+    dense = GridPottsModel(u, hc, vc, dtype=np.float32)
+    dense.run_fast(4, kernel="pallas", interpret=True)
+    sharded = ShardedGridPotts(u, hc, vc, devices=jax.devices()[:n_shards],
+                               dtype=np.float32)
+    sharded.run_fast(4, kernel="pallas", interpret=True)
+    ds = (dense.state["u"], dense.state["hm1"], dense.state["hm2"],
+          dense.state["vm1"], dense.state["vm2"])
+    for a, b in zip(ds, sharded.dense_state()):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("mode", ["uniform", "damped_uniform"])
+def test_run_fast_pallas_parity_uniform(mode):
+    Hh, Ww, Ll = 17, 9, 2
+    u, hc, vc = random_grid(Hh, Ww, Ll, seed=12)
+    dense = GridPottsModel(u, hc, vc, dtype=np.float32)
+    dense.run_fast(3, mode, kernel="pallas", interpret=True)
+    sharded = ShardedGridPotts(u, hc, vc, devices=jax.devices()[:4],
+                               dtype=np.float32)
+    sharded.run_fast(3, mode, kernel="pallas", interpret=True)
+    ds = (dense.state["u"], dense.state["hm1"], dense.state["hm2"],
+          dense.state["vm1"], dense.state["vm2"])
+    for a, b in zip(ds, sharded.dense_state()):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
