@@ -125,3 +125,39 @@ def test_combilp_through_solver():
     assert s.primal_cost() == pytest.approx(_brute_force(unaries, edges), abs=1e-6)
     lab = mrf_labeling(mrf, s.engine, s.best_primal)
     assert lab.shape == (5,)
+
+
+def test_incremental_ilp_matches_one_shot_and_reuses_model():
+    """IncrementalIlp (VERDICT r3 item 7): growing the region flips bounds
+    on the persistent model; every round must match the one-shot
+    conditioned solve, and the constraint system must be built only once."""
+    from lp_mp_tpu.engine import Engine
+    from lp_mp_tpu.io.ilp import IncrementalIlp
+
+    s = Solver(visitor=StandardVisitor(max_iter=8))
+    mrf = s.add_constructor(MrfConstructor)
+    _random_mrf(mrf, n_vars=8, n_labels=3, seed=3, p_edge=0.5)
+    eng = Engine(s.graph, schedule_mode="wavefront")
+    for _ in range(4):
+        eng.compute_pass("anisotropic")
+    prim = eng.compute_pass_and_primal("damped_uniform", Direction.forward)
+
+    inc = IncrementalIlp(eng)
+    A_id = id(inc.A)
+    n = eng.graph.n_factors
+    mask = np.zeros(n, dtype=bool)
+    mask[:3] = True
+    for _ in range(3):
+        p_inc, c_inc = inc.solve(subset=mask, fixed_prim=prim)
+        p_one, c_one = solve_ilp(eng, subset=mask, fixed_prim=prim)
+        assert (p_inc is None) == (p_one is None)
+        if p_inc is not None:
+            assert abs(c_inc - c_one) < 1e-9, (c_inc, c_one)
+        # grow one hop like combiLP._fatten
+        from lp_mp_tpu.combilp import _fatten
+        mask = _fatten(eng, mask)
+    # full-graph round == exact optimum == plain ilp_round
+    p_full, c_full = inc.solve(subset=np.ones(n, dtype=bool))
+    p_ref, c_ref = ilp_round(eng)
+    assert abs(c_full - c_ref) < 1e-9
+    assert id(inc.A) == A_id, "constraint system must not be rebuilt"
