@@ -138,7 +138,16 @@ class Engine:
                  inner_iteration: int = 5, pass_style: str = "auto"):
         if schedule_mode == "auto":
             # coloring keeps the phase count graph-degree-bounded on big
-            # graphs; wavefront preserves the reference sweep order on small
+            # graphs; wavefront preserves the reference sweep order on small.
+            # Measured tradeoff (bench/convergence_schedules_out.jsonl +
+            # BENCH notes): on frustrated grids coloring needs ~5x the
+            # iterations of the wavefront/reference order (e.g. 250 vs 50
+            # at 128x128 to a 1e-4 gap), but its 2 phases run ~4.5x faster
+            # per pass on TPU already at 200x200 (28.2 vs 6.3 it/s) and the
+            # wavefront phase count grows with graph diameter — so above
+            # this threshold coloring wins time-to-gap and pulls further
+            # ahead with size; below it wavefront's reference-order
+            # convergence wins.
             schedule_mode = "coloring" if graph.n_factors > 50_000 \
                 else "wavefront"
         assert schedule_mode in ("wavefront", "coloring", "sequential")

@@ -119,7 +119,10 @@ class IncrementalIlp:
                    constraints=LinearConstraint(A, rhs, rhs),
                    integrality=np.ones(self.nvar),
                    bounds=Bounds(lo, hi), options=options)
-        if not res.success or res.x is None:
+        # accept time-limit incumbents: HiGHS returns the best feasible
+        # integer solution found so far with success=False/status=1, which
+        # is exactly what a time-boxed exact rounding oracle should use
+        if res.x is None:
             return None, float("inf")
 
         x = np.round(res.x).astype(np.int64)

@@ -476,7 +476,13 @@ def phase_update_sharded(state, halos, hc_loc, vc_loc, cost_halos, row0, *,
 
 @functools.partial(jax.jit, static_argnames=("geom", "interpret"))
 def phase_update(params, state, hc, vc, *, geom, interpret=False):
-    """One color-phase update.
+    """One color-phase update (v1, interpret-mode cross-check ONLY).
+
+    Kept as an independent formulation of the same phase math for the
+    interpret-mode equivalence suite (tests/test_pallas_grid.py); NOT a
+    hardware path — its dynamic-offset manual DMA hangs on the axon
+    runtime (artifact: bench/pallas_dma_hang.md).  Production kernels:
+    phase_update_v2 (single chip), phase_update_sharded (multi-chip).
 
     params: int32 [3] = (recv_color, send_color, leave*10) with color codes
     0=none, 1=black, 2=red; omega = send_mask / (deg + leave).

@@ -28,6 +28,7 @@ class Solver:
                  reparametrization_type: str = "shared",
                  inner_iteration: int = 5,
                  exact_rounding: "str | None" = None,
+                 exact_time_limit: "float | None" = None,
                  pass_style: str = "auto", rounding: str = "mp",
                  tree_decomposition: "list | None" = None,
                  tree_decomposition_begin: "int | None" = None,
@@ -44,6 +45,9 @@ class Solver:
         # (solver.hxx:529-546 SAT rounding) or "combilp" (combiLP.hxx:92-271)
         assert exact_rounding in (None, "ilp", "combilp")
         self.exact_rounding = exact_rounding
+        # per-invocation MILP budget for the exact oracles; at the limit the
+        # best feasible incumbent is used (time-boxed SAT-rounding analogue)
+        self.exact_time_limit = exact_time_limit
         # rounding mode: "mp" = post-receive argmin; "restricted" = argmin
         # conditioned on one-sided restricted messages from fixed neighbors
         # (factors_messages.hxx:513-566)
@@ -211,12 +215,14 @@ class Solver:
                     self.build_engine()
                 if self.exact_rounding == "ilp":
                     from .io.ilp import ilp_round
-                    p, _ = ilp_round(self.engine)
+                    p, _ = ilp_round(self.engine,
+                                     time_limit=self.exact_time_limit)
                     if p is not None:
                         self.register_primal(p)
                 elif self.exact_rounding == "combilp":
                     from .combilp import combi_lp
-                    p, _ = combi_lp(self.engine, prim=prim)
+                    p, _ = combi_lp(self.engine, prim=prim,
+                                    time_limit=self.exact_time_limit)
                     if p is not None:
                         self.register_primal(p)
             else:
