@@ -112,6 +112,38 @@ def main():
 
     out["tiles"] = results
 
+    # --- time-tiled full round (red+black in ONE kernel pass): per-round
+    # bytes equal one phase's, so the model traffic per ITERATION halves --
+    from lp_mp_tpu.ops.pallas_grid import round_update_v2
+    TH = 48
+    geom = m._pallas_geom(tile_rows=TH)
+    Lg, Hp, Wp, _, _, P, _ = geom
+    hc, vc = m._pallas_costs(geom)
+    ms = {"cur": m._to_mask(m.state, geom)}
+
+    def rstep():
+        ms["cur"] = round_update_v2(ms["cur"], hc, vc, geom=geom)
+
+    @jax.jit
+    def rprobe(s):
+        return jnp.sum(s["u"][:, :8, :8])
+
+    rfence = make_fence(lambda: rprobe(ms["cur"]))
+    rstep(); rfence()
+    dt_r = slope_time(rstep, rfence, k_lo=10, k_hi=50)
+    arr_bytes = Lg * Hp * Wp * 4
+    cost_bytes = Hp * Wp * 4
+    amp = (TH + 16) / TH
+    model_bytes = 5 * arr_bytes * (1 + amp) + 2 * cost_bytes * amp
+    out["fused_round_TH48"] = {
+        "iter_per_s": round(1.0 / dt_r, 1),
+        "round_us": round(dt_r * 1e6, 1),
+        "model_GB_per_iter": round(model_bytes / 1e9, 4),
+        "implied_GB_s": round(model_bytes / dt_r / 1e9, 1),
+        "pct_of_axpy_bw": round(100.0 * model_bytes / dt_r / 1e9 / bw, 1),
+    }
+    del ms["cur"]
+
     # --- XLA fused phase for contrast -----------------------------------
     m2 = GridPottsModel(u, hc0, vc0)
     box2 = {"m": m2}

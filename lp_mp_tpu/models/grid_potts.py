@@ -232,7 +232,7 @@ class GridPottsModel:
         XLA while-loop run ~60x slower than the same kernels dispatched
         back-to-back (measured 71 vs 8.7k it/s on the 1000x1000 grid —
         bench/pallas_dma_hang.md artifact)."""
-        from ..ops.pallas_grid import phase_update_v2
+        from ..ops.pallas_grid import phase_update_v2, round_update_v2
         geom = self._pallas_geom()
         if self._pallas_costs_cache is None:
             self._pallas_costs_cache = self._pallas_costs(geom)
@@ -247,10 +247,13 @@ class GridPottsModel:
         if mode in (ReparametrizationMode.anisotropic,
                     ReparametrizationMode.anisotropic2):
             # fused schedule of _run_fast_impl: send-only prologue on black,
-            # then (red recv+send, black recv+send) per round
+            # then one time-tiled kernel per round (red recv+send followed
+            # by black recv+send in a single pass — half the HBM traffic
+            # of dispatching the two color phases separately)
             m = ph(m, (0, 1, 0.0))
             for _ in range(n):
-                m = ph(ph(m, (2, 2, 0.0)), (1, 1, 0.0))
+                m = round_update_v2(m, hc, vc, geom=geom,
+                                    interpret=interpret)
         else:
             leave = 0.0 if mode == ReparametrizationMode.uniform else 1.0
             cyc = ((1, 1, leave), (2, 2, leave), (2, 2, leave), (1, 1, leave))

@@ -300,6 +300,138 @@ def phase_update_v2(state, hc, vc, *, geom, phase_params, interpret=False):
             "vm1": outs[3], "vm2": outs[4]}
 
 
+def _round_kernel_v2(u_m, u_c, u_p, hm1_m, hm1_c, hm1_p, hm2_m, hm2_c, hm2_p,
+                     vm1_m, vm1_c, vm1_p, vm2_m, vm2_c, vm2_p,
+                     hc_m, hc_c, hc_p, vc_m, vc_c, vc_p,
+                     u_out, hm1_out, hm2_out, vm1_out, vm2_out,
+                     *, L, Hp, Wp, H, W, P, TH):
+    """One FULL anisotropic round (red recv+send, then black recv+send)
+    time-tiled into a single kernel pass.
+
+    The two color phases of the fused schedule each stream all five state
+    arrays through HBM; fusing them halves the per-iteration traffic.  The
+    deeper stencil needs rows start-3 .. start+TH+5: phase A (red) must be
+    valid one ring beyond phase B's stencil.  Those rows are already
+    covered by the same prev/next 8-row neighbor blocks the single-phase
+    kernel reads (3 <= 8 above, 6 <= 8 below), so the read amplification
+    is unchanged at (TH+16)/TH while the bytes per ITERATION halve.
+    Wrap/clamp garbage multiplies zero logical-row masks exactly as in
+    _phase_kernel_v2."""
+    i = pl.program_id(0)
+    start = i * TH
+
+    def halo(m, c, p):
+        # rows start-3 .. start+TH+5 (3 above, 6 below)
+        return jnp.concatenate([m[:, -3:, :], c[...], p[:, :6, :]], axis=1)
+
+    f32 = jnp.float32
+    R = TH + 9
+    rows = (start - 3) + jax.lax.broadcasted_iota(jnp.int32, (R, Wp), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R, Wp), 1)
+    in_rows = (rows >= P).astype(f32) * (rows < P + H).astype(f32)
+    in_cols = (cols >= 1).astype(f32) * (cols < 1 + W).astype(f32)
+    cellf = in_rows * in_cols
+    hedge = cellf * (cols < W).astype(f32)
+    vedge = cellf * (rows < P + H - 1).astype(f32)
+    parity = ((rows - P + cols - 1) % 2).astype(f32)  # 0 for black cells
+    black = cellf * (1.0 - parity)
+    red = cellf - black
+    deg = hedge + _shift_cols(hedge, 1) + vedge + _shift_rows(vedge, 1)
+
+    u = halo(u_m, u_c, u_p)
+    hm1 = halo(hm1_m, hm1_c, hm1_p)
+    hm2 = halo(hm2_m, hm2_c, hm2_p)
+    vm1 = halo(vm1_m, vm1_c, vm1_p)
+    vm2 = halo(vm2_m, vm2_c, vm2_p)
+    hc = jnp.concatenate([hc_m[-3:, :], hc_c[...], hc_p[:6, :]], axis=0)
+    vc = jnp.concatenate([vc_m[-3:, :], vc_c[...], vc_p[:6, :]], axis=0)
+
+    def phase(u, hm1, hm2, vm1, vm2, colorm):
+        recvm = colorm
+        omega = colorm / jnp.maximum(deg, 1.0)
+        e1 = _marg(hm1, hm2, hc)
+        e2 = _marg(hm2, hm1, hc)
+        v1 = _marg(vm1, vm2, vc)
+        v2 = _marg(vm2, vm1, vc)
+        mh1 = recvm * hedge
+        mh2 = _shift_cols(recvm, -1) * hedge
+        mv1 = recvm * vedge
+        mv2 = _shift_rows(recvm, -1) * vedge
+        uu = (u + e1 * mh1[None] + _shift_cols(e2 * mh2[None], 1)
+                + v1 * mv1[None] + _shift_rows(v2 * mv2[None], 1))
+        d = uu * omega[None]
+        resid = 1.0 - omega * deg
+        return (uu * resid[None] * cellf[None],
+                (hm1 - e1 * mh1[None] + d) * hedge[None],
+                (hm2 - e2 * mh2[None] + _shift_cols(d, -1)) * hedge[None],
+                (vm1 - v1 * mv1[None] + d) * vedge[None],
+                (vm2 - v2 * mv2[None] + _shift_rows(d, -1)) * vedge[None])
+
+    a = phase(u, hm1, hm2, vm1, vm2, red)
+    b = phase(*a, black)
+
+    def center(x):
+        return x[:, 3:TH + 3]
+
+    u_out[...] = center(b[0])
+    hm1_out[...] = center(b[1])
+    hm2_out[...] = center(b[2])
+    vm1_out[...] = center(b[3])
+    vm2_out[...] = center(b[4])
+
+
+@functools.partial(jax.jit, static_argnames=("geom", "interpret"))
+def round_update_v2(state, hc, vc, *, geom, interpret=False):
+    """One full anisotropic round (red phase then black phase) fused into
+    a single Pallas pass — same coordinate updates as
+    ``phase_update_v2(..., (2,2,0)) then (..., (1,1,0))`` with half the
+    HBM traffic per iteration.  Layout/geometry contract identical to
+    phase_update_v2."""
+    L, Hp, Wp, H, W, P, TH = geom
+    assert Hp % TH == 0 and TH % 8 == 0, "sublane tiling needs 8-row blocks"
+    nblk = Hp // TH
+    nb8 = TH // 8
+    f32 = jnp.float32
+    kernel = functools.partial(
+        _round_kernel_v2, L=L, Hp=Hp, Wp=Wp, H=H, W=W, P=P, TH=TH)
+
+    def prev_map(i):
+        return (0, jnp.maximum(i * nb8 - 1, 0), 0)
+
+    def cent_map(i):
+        return (0, i, 0)
+
+    def next_map(i):
+        return (0, jnp.minimum((i + 1) * nb8, Hp // 8 - 1), 0)
+
+    def spec3(lead):
+        shapes = ((lead, 8, Wp), (lead, TH, Wp), (lead, 8, Wp)) if lead \
+            else ((8, Wp), (TH, Wp), (8, Wp))
+        maps = (prev_map, cent_map, next_map)
+        if lead:
+            return [pl.BlockSpec(sh, m) for sh, m in zip(shapes, maps)]
+        return [pl.BlockSpec(sh, lambda i, m=m: m(i)[1:])
+                for sh, m in zip(shapes, maps)]
+
+    in_specs = (spec3(L) + spec3(L) + spec3(L) + spec3(L) + spec3(L)
+                + spec3(0) + spec3(0))
+    out_sds = [jax.ShapeDtypeStruct((L, Hp, Wp), f32)] * 5
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((L, TH, Wp), cent_map)] * 5,
+        out_shape=out_sds,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*(x for arr in (state["u"], state["hm1"], state["hm2"],
+                      state["vm1"], state["vm2"]) for x in (arr, arr, arr)),
+      hc, hc, hc, vc, vc, vc)
+    return {"u": outs[0], "hm1": outs[1], "hm2": outs[2],
+            "vm1": outs[3], "vm2": outs[4]}
+
+
 def _phase_kernel_sharded(row0_ref,
                           u_m, u_c, u_p, u_t, u_b,
                           hm1_m, hm1_c, hm1_p, hm1_t, hm1_b,
@@ -391,6 +523,154 @@ def _phase_kernel_sharded(row0_ref,
     hm2_out[...] = center((hm2 - e2 * mh2[None] + _shift_cols(d, -1)) * hedge[None])
     vm1_out[...] = center((vm1 - v1 * mv1[None] + d) * vedge[None])
     vm2_out[...] = center((vm2 - v2 * mv2[None] + _shift_rows(d, -1)) * vedge[None])
+
+
+def _round_kernel_sharded(row0_ref,
+                          u_m, u_c, u_p, u_t, u_b,
+                          hm1_m, hm1_c, hm1_p, hm1_t, hm1_b,
+                          hm2_m, hm2_c, hm2_p, hm2_t, hm2_b,
+                          vm1_m, vm1_c, vm1_p, vm1_t, vm1_b,
+                          vm2_m, vm2_c, vm2_p, vm2_t, vm2_b,
+                          hc_m, hc_c, hc_p, hc_t, hc_b,
+                          vc_m, vc_c, vc_p, vc_t, vc_b,
+                          u_out, hm1_out, hm2_out, vm1_out, vm2_out,
+                          *, L, Wp, H, W, P, TH, nblk):
+    """_round_kernel_v2 (time-tiled red+black round) on one shard's
+    window: halo rows come from the ppermuted 8-row slabs at the window
+    edges (3 above / 6 below both fit in the slabs), masks from the
+    ``row0`` scalar.  One slab exchange feeds BOTH color phases — the
+    fused round also halves the per-iteration collective count."""
+    i = pl.program_id(0)
+
+    def halo(m, c, p, t, b):
+        prev = jnp.where(i == 0, t[:, -3:, :], m[:, -3:, :])
+        nxt = jnp.where(i == nblk - 1, b[:, :6, :], p[:, :6, :])
+        return jnp.concatenate([prev, c[...], nxt], axis=1)
+
+    f32 = jnp.float32
+    R = TH + 9
+    rows = (row0_ref[0] + i * TH - 3) + jax.lax.broadcasted_iota(
+        jnp.int32, (R, Wp), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R, Wp), 1)
+    in_rows = (rows >= P).astype(f32) * (rows < P + H).astype(f32)
+    in_cols = (cols >= 1).astype(f32) * (cols < 1 + W).astype(f32)
+    cellf = in_rows * in_cols
+    hedge = cellf * (cols < W).astype(f32)
+    vedge = cellf * (rows < P + H - 1).astype(f32)
+    parity = ((rows - P + cols - 1) % 2).astype(f32)
+    black = cellf * (1.0 - parity)
+    red = cellf - black
+    deg = hedge + _shift_cols(hedge, 1) + vedge + _shift_rows(vedge, 1)
+
+    u = halo(u_m, u_c, u_p, u_t, u_b)
+    hm1 = halo(hm1_m, hm1_c, hm1_p, hm1_t, hm1_b)
+    hm2 = halo(hm2_m, hm2_c, hm2_p, hm2_t, hm2_b)
+    vm1 = halo(vm1_m, vm1_c, vm1_p, vm1_t, vm1_b)
+    vm2 = halo(vm2_m, vm2_c, vm2_p, vm2_t, vm2_b)
+
+    def halo2(m, c, p, t, b):
+        prev = jnp.where(i == 0, t[-3:, :], m[-3:, :])
+        nxt = jnp.where(i == nblk - 1, b[:6, :], p[:6, :])
+        return jnp.concatenate([prev, c[...], nxt], axis=0)
+
+    hc = halo2(hc_m, hc_c, hc_p, hc_t, hc_b)
+    vc = halo2(vc_m, vc_c, vc_p, vc_t, vc_b)
+
+    def phase(u, hm1, hm2, vm1, vm2, colorm):
+        recvm = colorm
+        omega = colorm / jnp.maximum(deg, 1.0)
+        e1 = _marg(hm1, hm2, hc)
+        e2 = _marg(hm2, hm1, hc)
+        v1 = _marg(vm1, vm2, vc)
+        v2 = _marg(vm2, vm1, vc)
+        mh1 = recvm * hedge
+        mh2 = _shift_cols(recvm, -1) * hedge
+        mv1 = recvm * vedge
+        mv2 = _shift_rows(recvm, -1) * vedge
+        uu = (u + e1 * mh1[None] + _shift_cols(e2 * mh2[None], 1)
+                + v1 * mv1[None] + _shift_rows(v2 * mv2[None], 1))
+        d = uu * omega[None]
+        resid = 1.0 - omega * deg
+        return (uu * resid[None] * cellf[None],
+                (hm1 - e1 * mh1[None] + d) * hedge[None],
+                (hm2 - e2 * mh2[None] + _shift_cols(d, -1)) * hedge[None],
+                (vm1 - v1 * mv1[None] + d) * vedge[None],
+                (vm2 - v2 * mv2[None] + _shift_rows(d, -1)) * vedge[None])
+
+    a = phase(u, hm1, hm2, vm1, vm2, red)
+    b = phase(*a, black)
+
+    def center(x):
+        return x[:, 3:TH + 3]
+
+    u_out[...] = center(b[0])
+    hm1_out[...] = center(b[1])
+    hm2_out[...] = center(b[2])
+    vm1_out[...] = center(b[3])
+    vm2_out[...] = center(b[4])
+
+
+@functools.partial(jax.jit, static_argnames=("geom", "interpret"))
+def round_update_sharded(state, halos, hc_loc, vc_loc, cost_halos, row0, *,
+                         geom, interpret=False):
+    """Sharded fused anisotropic round (contract of phase_update_sharded,
+    math of round_update_v2): one kernel pass per iteration per shard."""
+    L, Hl, Wp, H, W, P, TH = geom
+    assert Hl % TH == 0 and TH % 8 == 0, "sublane tiling needs 8-row blocks"
+    nblk = Hl // TH
+    nb8 = TH // 8
+    f32 = jnp.float32
+    kernel = functools.partial(
+        _round_kernel_sharded, L=L, Wp=Wp, H=H, W=W, P=P, TH=TH, nblk=nblk)
+
+    def prev_map(i, p):
+        return (0, jnp.maximum(i * nb8 - 1, 0), 0)
+
+    def cent_map(i, p):
+        return (0, i, 0)
+
+    def next_map(i, p):
+        return (0, jnp.minimum((i + 1) * nb8, Hl // 8 - 1), 0)
+
+    def halo_map(i, p):
+        return (0, 0, 0)
+
+    def spec5(lead):
+        if lead:
+            shapes = ((lead, 8, Wp), (lead, TH, Wp), (lead, 8, Wp),
+                      (lead, 8, Wp), (lead, 8, Wp))
+            maps = (prev_map, cent_map, next_map, halo_map, halo_map)
+            return [pl.BlockSpec(sh, m) for sh, m in zip(shapes, maps)]
+        shapes = ((8, Wp), (TH, Wp), (8, Wp), (8, Wp), (8, Wp))
+        maps = (prev_map, cent_map, next_map, halo_map, halo_map)
+        return [pl.BlockSpec(sh, lambda i, p, m=m: m(i, p)[1:])
+                for sh, m in zip(shapes, maps)]
+
+    in_specs = spec5(L) * 5 + spec5(0) * 2
+    out_sds = [jax.ShapeDtypeStruct((L, Hl, Wp), f32)] * 5
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblk,),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((L, TH, Wp), cent_map)] * 5,
+    )
+    args = []
+    for k in ("u", "hm1", "hm2", "vm1", "vm2"):
+        t, b = halos[k]
+        args += [state[k], state[k], state[k], t, b]
+    for loc, k in ((hc_loc, "hc"), (vc_loc, "vc")):
+        t, b = cost_halos[k]
+        args += [loc, loc, loc, t, b]
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_sds,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(row0, *args)
+    return {"u": outs[0], "hm1": outs[1], "hm2": outs[2],
+            "vm1": outs[3], "vm2": outs[4]}
 
 
 @functools.partial(jax.jit,

@@ -371,7 +371,11 @@ class ShardedGridPotts:
 
         phase_cache = {}
 
-        def make_phase(params, interpret):
+        def make_fn(params, interpret):
+            """params is a phase tuple, or "round" for the time-tiled
+            full anisotropic round (one kernel + one slab exchange)."""
+            from ..ops.pallas_grid import round_update_sharded
+
             def body(u, hm1, hm2, vm1, vm2, hc_l, vc_l,
                      hc_t, hc_b, vc_t, vc_b):
                 st = dict(zip(keys, (u, hm1, hm2, vm1, vm2)))
@@ -388,11 +392,15 @@ class ShardedGridPotts:
 
                 halos = {k: slabs(v) for k, v in st.items()}
                 row0 = (jax.lax.axis_index(AXIS) * Hl).astype(jnp.int32)[None]
-                out = phase_update_sharded(
-                    st, halos, hc_l, vc_l,
-                    {"hc": (hc_t[0], hc_b[0]), "vc": (vc_t[0], vc_b[0])},
-                    row0, geom=geom_p, phase_params=params,
-                    interpret=interpret)
+                costs = {"hc": (hc_t[0], hc_b[0]), "vc": (vc_t[0], vc_b[0])}
+                if params == "round":
+                    out = round_update_sharded(
+                        st, halos, hc_l, vc_l, costs, row0, geom=geom_p,
+                        interpret=interpret)
+                else:
+                    out = phase_update_sharded(
+                        st, halos, hc_l, vc_l, costs, row0, geom=geom_p,
+                        phase_params=params, interpret=interpret)
                 return tuple(out[k] for k in keys)
 
             # check_vma=False: pallas_call outputs carry no vma annotation.
@@ -407,7 +415,7 @@ class ShardedGridPotts:
         def phase(st, params, interpret):
             key = (params, interpret)
             if key not in phase_cache:
-                phase_cache[key] = make_phase(params, interpret)
+                phase_cache[key] = make_fn(params, interpret)
             return phase_cache[key](*st, hc32, vc32, hc_th, hc_bh,
                                     vc_th, vc_bh)
 
@@ -437,7 +445,7 @@ class ShardedGridPotts:
                     ReparametrizationMode.anisotropic2):
             st = ph(st, (0, 1, 0.0))
             for _ in range(n):
-                st = ph(ph(st, (2, 2, 0.0)), (1, 1, 0.0))
+                st = ph(st, "round")
         else:
             leave = 0.0 if mode == ReparametrizationMode.uniform else 1.0
             cyc = ((1, 1, leave), (2, 2, leave), (2, 2, leave),

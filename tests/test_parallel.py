@@ -85,8 +85,11 @@ def test_run_fast_pallas_parity(n_shards):
     sharded.run_fast(4, kernel="pallas", interpret=True)
     ds = (dense.state["u"], dense.state["hm1"], dense.state["hm2"],
           dense.state["vm1"], dense.state["vm2"])
+    # atol: the dense and sharded fused-round kernels are the same formula
+    # but compile separately, so reassociation can differ by ~1 ulp/step
     for a, b in zip(ds, sharded.dense_state()):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-4)
 
 
 @pytest.mark.parametrize("mode", ["uniform", "damped_uniform"])
