@@ -72,8 +72,13 @@ def main():
     u, hc0, vc0 = random_grid(H, W, L, seed=1)
     m = GridPottsModel(u, hc0, vc0)
 
+    tiles = (8, 16, 24, 32, 48)
+    for a in sys.argv[1:]:
+        if a.startswith("--tiles="):
+            tiles = tuple(int(t) for t in a.split("=", 1)[1].split(","))
+
     results = {}
-    for TH in (8, 16, 24, 32, 48):
+    for TH in tiles:
         geom = m._pallas_geom(tile_rows=TH)
         Lg, Hp, Wp, _, _, P, _ = geom
         if Hp % TH:
