@@ -80,6 +80,17 @@ class EqualityMessage(MessageType):
         c = costs["c"]
         return {**costs, "c": c.at[idx, data["ri"]].add(delta)}
 
+    @staticmethod
+    def _one_hot(delta, entry, width):
+        lanes = jnp.arange(width)[None, :]
+        return jnp.where(lanes == entry[:, None], delta[:, None], 0.0)
+
+    def pull_left(self, delta, data, costs):
+        return {"c": self._one_hot(delta, data["li"], costs["c"].shape[1])}
+
+    def pull_right(self, delta, data, costs):
+        return {"c": self._one_hot(delta, data["ri"], costs["c"].shape[1])}
+
     # -- primal --------------------------------------------------------------
     def propagate_primal_l2r(self, left_primal, right_primal, lidx, ridx, data):
         l = left_primal["x"][lidx]

@@ -100,6 +100,14 @@ class MulticutEdgeTripletMessage(MessageType):
                                           dtype=c.dtype)[None, :]
         return {**costs, "c": c.at[idx].add(add)}
 
+    def pull_left(self, delta, data, costs):
+        return {"c": delta[:, 0]}
+
+    def pull_right(self, delta, data, costs):
+        pat = jnp.asarray(TRIPLET_PATTERNS[:, self.slot],
+                          dtype=costs["c"].dtype)[None, :]
+        return {"c": delta[:, 0:1] * pat}
+
     # -- primal ------------------------------------------------------------
     def _key(self):
         return f"e{self.slot + 1}"
@@ -170,6 +178,14 @@ class MulticutEdgeWheelMessage(MessageType):
         add = delta[:, 0:1] * jnp.asarray(ODD_WHEEL_PATTERNS[:, self.slot],
                                           dtype=c.dtype)[None, :]
         return {**costs, "c": c.at[idx].add(add)}
+
+    def pull_left(self, delta, data, costs):
+        return {"c": delta[:, 0]}
+
+    def pull_right(self, delta, data, costs):
+        pat = jnp.asarray(ODD_WHEEL_PATTERNS[:, self.slot],
+                          dtype=costs["c"].dtype)[None, :]
+        return {"c": delta[:, 0:1] * pat}
 
     # -- primal ------------------------------------------------------------
     def _key(self):
@@ -255,6 +271,19 @@ class MulticutEdgeWheelKMessage(MessageType):
         rim = costs["rim"].at[idx, jnp.clip(s - k, 0, k - 1)].add(
             jnp.where(s >= k, d, 0.0))
         return {**costs, "sp": sp, "rim": rim}
+
+    def pull_left(self, delta, data, costs):
+        return {"c": delta[:, 0]}
+
+    def pull_right(self, delta, data, costs):
+        k = self.k
+        s = data["slot"]
+        d = delta[:, 0:1]
+        lanes = jnp.arange(k)[None, :]
+        sp = jnp.where((s[:, None] < k) & (lanes == s[:, None]), d, 0.0)
+        rim = jnp.where((s[:, None] >= k) & (lanes == (s[:, None] - k)),
+                        d, 0.0)
+        return {"sp": sp, "rim": rim}
 
     # -- primal ----------------------------------------------------------
     def propagate_primal_l2r(self, left_primal, right_primal, lidx, ridx, data):
@@ -348,6 +377,15 @@ class MulticutTripletWheelKMessage(MessageType):
         dw = jnp.take_along_axis(delta, data["pw"], axis=1)     # wheel order
         tri = costs["tri"].at[idx, data["slot"]].add(dw)
         return {**costs, "tri": tri}
+
+    def pull_left(self, delta, data, costs):
+        return {"c": delta}
+
+    def pull_right(self, delta, data, costs):
+        dw = jnp.take_along_axis(delta, data["pw"], axis=1)
+        karr = jnp.arange(self.k)[None, :, None]
+        return {"tri": jnp.where(karr == data["slot"][:, None, None],
+                                 dw[:, None, :], 0.0)}
 
     # -- primal --------------------------------------------------------------
     def propagate_primal_l2r(self, left_primal, right_primal, lidx, ridx, data):

@@ -80,6 +80,17 @@ class PairwiseTripletMessage(MessageType):
         d = jnp.expand_dims(d, axis=self.out_axis)
         return {**costs, "c": c.at[idx].add(d)}
 
+    def pull_left(self, delta, data, costs):
+        c = costs["c"]
+        return {"c": _fit2(delta, c.shape[1], c.shape[2])}
+
+    def pull_right(self, delta, data, costs):
+        c = costs["c"]
+        dims = [c.shape[a] for a in self.pair]
+        d = jnp.expand_dims(_fit2(delta, dims[0], dims[1]),
+                            axis=self.out_axis)
+        return {"c": jnp.broadcast_to(d, (delta.shape[0],) + c.shape[1:])}
+
     # -- constraint export: pairwise config == triplet marginal ------------
     def lp_coupling(self, lmeta, rmeta, data):
         n1, n2 = lmeta

@@ -66,6 +66,9 @@ class _UnaryPairwiseBase(MessageType):
         c = costs["c"]
         return {**costs, "c": c.at[idx].add(fit_width(delta, c.shape[1]))}
 
+    def pull_left(self, delta, data, costs):
+        return {"c": fit_width(delta, costs["c"].shape[1])}
+
     # -- primal ------------------------------------------------------------
     def _right_key(self):
         return "x1" if self.side == 1 else "x2"
@@ -142,6 +145,15 @@ class UnaryPairwiseMessage(_UnaryPairwiseBase):
             d = fit_width(delta, c.shape[2])[:, None, :]
         return {**costs, "c": c.at[idx].add(d)}
 
+    def pull_right(self, delta, data, costs):
+        c = costs["c"]
+        if self.side == 1:
+            d = fit_width(delta, c.shape[1])[:, :, None]
+        else:
+            d = fit_width(delta, c.shape[2])[:, None, :]
+        return {"c": jnp.broadcast_to(
+            d, (delta.shape[0], c.shape[1], c.shape[2]))}
+
 
 class UnaryPottsMessage(_UnaryPairwiseBase):
     """Unary <-> compact Potts pairwise, one type per side.  O(L) updates
@@ -182,6 +194,10 @@ class UnaryPottsMessage(_UnaryPairwiseBase):
         key = "msg1" if self.side == 1 else "msg2"
         slot = costs[key]
         return {**costs, key: slot.at[idx].add(fit_width(delta, slot.shape[1]))}
+
+    def pull_right(self, delta, data, costs):
+        key = "msg1" if self.side == 1 else "msg2"
+        return {key: fit_width(delta, costs[key].shape[1])}
 
 
 UNARY_PAIRWISE_1 = UnaryPairwiseMessage(1)

@@ -58,6 +58,12 @@ class VectorEqualityMessage(MessageType):
     def repam_right(self, costs, idx, delta, data):
         return {**costs, "c": costs["c"].at[idx].add(delta)}
 
+    def pull_left(self, delta, data, costs):
+        return {"c": delta}
+
+    def pull_right(self, delta, data, costs):
+        return {"c": delta}
+
     # -- primal --------------------------------------------------------------
     def propagate_primal_l2r(self, left_primal, right_primal, lidx, ridx, data):
         l = left_primal["x"][lidx]

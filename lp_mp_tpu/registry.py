@@ -179,6 +179,23 @@ class MessageType:
     def repam_right(self, costs: dict, idx: jnp.ndarray, delta: jnp.ndarray, data: dict) -> dict:
         raise NotImplementedError
 
+    # -- pull-mode contributions (scatter-free hot path) -------------------
+    # TPU scatter costs ~90ns/row on this hardware regardless of hints,
+    # making the repam_* scatters the generic engine's bottleneck (measured
+    # 2.7 s/pass on the 1000x1000 grid).  A type that can express its
+    # reparametrization as a DENSE per-message contribution tensor in the
+    # target block's key space opts into the pull pass (engine
+    # _make_pass_pull): the engine evaluates contributions for all messages,
+    # then each factor row gathers and sums its incident contributions via
+    # padded incidence index arrays — gathers only, no scatters.
+    # Contract: repam_left(costs, idx, delta, data) must equal
+    # costs with key[idx[m]] += pull_left(delta, data, costs)[key][m].
+    def pull_left(self, delta: jnp.ndarray, data: dict, costs: dict) -> "dict | None":
+        return None
+
+    def pull_right(self, delta: jnp.ndarray, data: dict, costs: dict) -> "dict | None":
+        return None
+
     # -- exact-oracle constraint export -------------------------------------
     def lp_coupling(self, lmeta, rmeta, data: Any) -> list:
         """Coupling equalities gluing one message's two LP blocks
