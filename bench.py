@@ -558,10 +558,15 @@ WORKLOADS = {
     "solver_e2e": bench_solver_e2e,
 }
 
-# per-workload subprocess time boxes (s); total worst case ~25 min, and the
-# parent additionally stops launching once BENCH_BUDGET_S is spent
-TIMEBOX = {"grid": 300, "sharded": 200, "generic_grid": 180, "chain": 180,
-           "multicut": 200, "qap": 150, "tomography": 150, "solver_e2e": 300}
+# per-workload subprocess time boxes (s).  Generous: XLA compiles on this
+# runtime are 5-20x slower for ~10-30 min after Mosaic kernels have
+# executed anywhere on the service (pathology #5 at service level), and
+# cache-cold compiles mid-bench have blown 150 s boxes that the same
+# workload finishes in 40 s standalone.  The parent stops launching once
+# BENCH_BUDGET_S is spent, and the cumulative summary is re-emitted after
+# every workload, so generous boxes cannot lose completed results.
+TIMEBOX = {"grid": 420, "sharded": 240, "generic_grid": 180, "chain": 180,
+           "multicut": 280, "qap": 240, "tomography": 240, "solver_e2e": 420}
 
 
 def run_one(name: str) -> None:
@@ -597,21 +602,17 @@ def main():
     whatever runs second are off by up to ~1000x.  The cumulative summary
     is re-emitted after every workload so the last stdout JSON line is
     always complete for whatever has finished."""
-    budget = float(os.environ.get("BENCH_BUDGET_S", 1500))
+    budget = float(os.environ.get("BENCH_BUDGET_S", 2400))
     t_start = time.perf_counter()
     ref = reference_its()
 
     results = {}
     pallas_its = None
     grid_notes = {}
-    names = list(WORKLOADS)
-    for wi, name in enumerate(names):
-        left = budget - (time.perf_counter() - t_start)
-        if left < 60:
-            for skipped in names[wi:]:
-                results[skipped] = {"skipped": "bench budget exhausted"}
-            emit_summary(results, pallas_its, grid_notes, ref, [])
-            break
+
+    def attempt(name, left):
+        """Run one workload subprocess; returns True on success."""
+        nonlocal pallas_its, grid_notes
         try:
             out = subprocess.run(
                 [sys.executable, str(REPO / "bench.py"), "--workload", name],
@@ -625,19 +626,46 @@ def main():
             if rec is None:
                 tail = (out.stderr or out.stdout).strip().splitlines()[-3:]
                 results[name] = {"error": " | ".join(tail)[-300:]}
-            else:
-                emit(rec)
-                results[rec["metric"]] = {"its": rec["value"],
-                                          **rec.get("notes", {})}
-                if name == "grid":
-                    pallas_its = rec["value"]
-                    grid_notes = rec.get("notes", {})
+                return False
+            emit(rec)
+            results.pop(name, None)
+            results[rec["metric"]] = {"its": rec["value"],
+                                      **rec.get("notes", {})}
+            if name == "grid":
+                pallas_its = rec["value"]
+                grid_notes = rec.get("notes", {})
+            return True
         except subprocess.TimeoutExpired:
             results[name] = {"error": f"timeboxed at {TIMEBOX[name]}s"}
         except Exception as e:                          # pragma: no cover
             results[name] = {"error": f"{type(e).__name__}: {e}"}
+        return False
+
+    names = list(WORKLOADS)
+    failed = []
+    for wi, name in enumerate(names):
+        left = budget - (time.perf_counter() - t_start)
+        if left < 60:
+            for skipped in names[wi:]:
+                results[skipped] = {"skipped": "bench budget exhausted"}
+            emit_summary(results, pallas_its, grid_notes, ref, [])
+            break
+        if not attempt(name, left):
+            failed.append(name)
         emit_summary(results, pallas_its, grid_notes, ref,
                      pending=names[wi + 1:])
+
+    # one retry round: the axon service speed swings by >10x between
+    # windows (bench/pallas_dma_hang.md) — a workload that timed out often
+    # succeeds minutes later, and the cumulative summary emission makes
+    # retries free of risk
+    for name in failed:
+        left = budget - (time.perf_counter() - t_start)
+        if left < 90:
+            break
+        results[name] = {"retrying": True}
+        attempt(name, left)
+        emit_summary(results, pallas_its, grid_notes, ref, pending=[])
 
 
 if __name__ == "__main__":

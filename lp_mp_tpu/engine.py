@@ -317,8 +317,17 @@ class Engine:
             # cost more there: 25.6 vs 38.6 it/s at 304x304); few-phase
             # schedules only (inc arrays are per phase); primal/restricted/
             # residual/adaptive stay on the exact scatter path.
+            # density gate: pull computes contributions full-block and adds
+            # full-block accumulators, so it pays O(factor rows) per op.
+            # With few messages relative to factors (e.g. multicut with a
+            # sparse set of tightening triplets: 1.5k messages over 150k
+            # edges) scatter's O(messages) wins — measured 190 vs 24 it/s
+            # there, while dense-message graphs win big on pull (chain
+            # 160 vs 9.9, qap 3132 vs 1121, grid 2.94 vs 0.37).
+            dense_msgs = (sum(len(b.gids) for b in self.msgs.values())
+                          >= 0.25 * max(1, n))
             if (pull == "auto" and update_mode == "shared" and 0 < nph <= 8
-                    and jax.default_backend() == "tpu"
+                    and dense_msgs and jax.default_backend() == "tpu"
                     and self._pull_supported(self.plans[d])) or pull is True:
                 self._pass_fns[d] = maybe_jit(
                     self._make_pass_pull(self.plans[d]))

@@ -247,11 +247,17 @@ class GridPottsModel:
         if mode in (ReparametrizationMode.anisotropic,
                     ReparametrizationMode.anisotropic2):
             # fused schedule of _run_fast_impl: send-only prologue on black,
-            # then one time-tiled kernel per round (red recv+send followed
-            # by black recv+send in a single pass — half the HBM traffic
-            # of dispatching the two color phases separately)
+            # then time-tiled kernels covering TWO full rounds per pass
+            # (red/black/red/black — 1/4 the HBM traffic of dispatching
+            # the four color phases separately; odd remainder runs a
+            # single-round kernel)
             m = ph(m, (0, 1, 0.0))
-            for _ in range(n):
+            r = n
+            while r >= 2:
+                m = round_update_v2(m, hc, vc, geom=geom, n_rounds=2,
+                                    interpret=interpret)
+                r -= 2
+            if r:
                 m = round_update_v2(m, hc, vc, geom=geom,
                                     interpret=interpret)
         else:

@@ -304,29 +304,32 @@ def _round_kernel_v2(u_m, u_c, u_p, hm1_m, hm1_c, hm1_p, hm2_m, hm2_c, hm2_p,
                      vm1_m, vm1_c, vm1_p, vm2_m, vm2_c, vm2_p,
                      hc_m, hc_c, hc_p, vc_m, vc_c, vc_p,
                      u_out, hm1_out, hm2_out, vm1_out, vm2_out,
-                     *, L, Hp, Wp, H, W, P, TH):
-    """One FULL anisotropic round (red recv+send, then black recv+send)
-    time-tiled into a single kernel pass.
+                     *, L, Hp, Wp, H, W, P, TH, n_rounds=1):
+    """``n_rounds`` FULL anisotropic rounds (red recv+send, then black
+    recv+send, repeated) time-tiled into a single kernel pass.
 
-    The two color phases of the fused schedule each stream all five state
-    arrays through HBM; fusing them halves the per-iteration traffic.  The
-    deeper stencil needs rows start-3 .. start+TH+5: phase A (red) must be
-    valid one ring beyond phase B's stencil.  Those rows are already
-    covered by the same prev/next 8-row neighbor blocks the single-phase
-    kernel reads (3 <= 8 above, 6 <= 8 below), so the read amplification
-    is unchanged at (TH+16)/TH while the bytes per ITERATION halve.
-    Wrap/clamp garbage multiplies zero logical-row masks exactly as in
-    _phase_kernel_v2."""
+    Each fused color phase would stream all five state arrays through HBM;
+    fusing 2*n_rounds phases divides the per-iteration traffic by that
+    factor.  Phase k must be valid one stencil ring beyond phase k+1: with
+    p = 2*n_rounds phases the kernel needs rows start-p .. start+TH+2p-1
+    (one above + two below per phase).  Up to n_rounds=2 (p=4: 4 above,
+    8 below) these are still covered by the same single prev/next 8-row
+    neighbor blocks, so the read amplification stays (TH+16)/TH while the
+    bytes per ITERATION drop 2x per fused round.  Wrap/clamp garbage
+    multiplies zero logical-row masks exactly as in _phase_kernel_v2."""
     i = pl.program_id(0)
     start = i * TH
+    np_ = 2 * n_rounds
+    assert np_ <= 4, "halo slabs cover at most 4 phases (8 rows below)"
 
     def halo(m, c, p):
-        # rows start-3 .. start+TH+5 (3 above, 6 below)
-        return jnp.concatenate([m[:, -3:, :], c[...], p[:, :6, :]], axis=1)
+        # rows start-np_ .. start+TH+2*np_-1
+        return jnp.concatenate([m[:, -np_:, :], c[...], p[:, :2 * np_, :]],
+                               axis=1)
 
     f32 = jnp.float32
-    R = TH + 9
-    rows = (start - 3) + jax.lax.broadcasted_iota(jnp.int32, (R, Wp), 0)
+    R = TH + 3 * np_
+    rows = (start - np_) + jax.lax.broadcasted_iota(jnp.int32, (R, Wp), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (R, Wp), 1)
     in_rows = (rows >= P).astype(f32) * (rows < P + H).astype(f32)
     in_cols = (cols >= 1).astype(f32) * (cols < 1 + W).astype(f32)
@@ -343,8 +346,10 @@ def _round_kernel_v2(u_m, u_c, u_p, hm1_m, hm1_c, hm1_p, hm2_m, hm2_c, hm2_p,
     hm2 = halo(hm2_m, hm2_c, hm2_p)
     vm1 = halo(vm1_m, vm1_c, vm1_p)
     vm2 = halo(vm2_m, vm2_c, vm2_p)
-    hc = jnp.concatenate([hc_m[-3:, :], hc_c[...], hc_p[:6, :]], axis=0)
-    vc = jnp.concatenate([vc_m[-3:, :], vc_c[...], vc_p[:6, :]], axis=0)
+    hc = jnp.concatenate([hc_m[-np_:, :], hc_c[...], hc_p[:2 * np_, :]],
+                         axis=0)
+    vc = jnp.concatenate([vc_m[-np_:, :], vc_c[...], vc_p[:2 * np_, :]],
+                         axis=0)
 
     def phase(u, hm1, hm2, vm1, vm2, colorm):
         recvm = colorm
@@ -367,11 +372,12 @@ def _round_kernel_v2(u_m, u_c, u_p, hm1_m, hm1_c, hm1_p, hm2_m, hm2_c, hm2_p,
                 (vm1 - v1 * mv1[None] + d) * vedge[None],
                 (vm2 - v2 * mv2[None] + _shift_rows(d, -1)) * vedge[None])
 
-    a = phase(u, hm1, hm2, vm1, vm2, red)
-    b = phase(*a, black)
+    b = (u, hm1, hm2, vm1, vm2)
+    for _ in range(n_rounds):
+        b = phase(*phase(*b, red), black)
 
     def center(x):
-        return x[:, 3:TH + 3]
+        return x[:, np_:TH + np_]
 
     u_out[...] = center(b[0])
     hm1_out[...] = center(b[1])
@@ -380,12 +386,13 @@ def _round_kernel_v2(u_m, u_c, u_p, hm1_m, hm1_c, hm1_p, hm2_m, hm2_c, hm2_p,
     vm2_out[...] = center(b[4])
 
 
-@functools.partial(jax.jit, static_argnames=("geom", "interpret"))
-def round_update_v2(state, hc, vc, *, geom, interpret=False):
-    """One full anisotropic round (red phase then black phase) fused into
-    a single Pallas pass — same coordinate updates as
-    ``phase_update_v2(..., (2,2,0)) then (..., (1,1,0))`` with half the
-    HBM traffic per iteration.  Layout/geometry contract identical to
+@functools.partial(jax.jit, static_argnames=("geom", "n_rounds", "interpret"))
+def round_update_v2(state, hc, vc, *, geom, n_rounds=1, interpret=False):
+    """``n_rounds`` full anisotropic rounds (red phase then black phase)
+    fused into a single Pallas pass — same coordinate updates as the
+    sequential ``phase_update_v2(..., (2,2,0)) then (..., (1,1,0))``
+    rounds with 1/(2*n_rounds) of the HBM traffic per iteration
+    (n_rounds <= 2).  Layout/geometry contract identical to
     phase_update_v2."""
     L, Hp, Wp, H, W, P, TH = geom
     assert Hp % TH == 0 and TH % 8 == 0, "sublane tiling needs 8-row blocks"
@@ -393,7 +400,8 @@ def round_update_v2(state, hc, vc, *, geom, interpret=False):
     nb8 = TH // 8
     f32 = jnp.float32
     kernel = functools.partial(
-        _round_kernel_v2, L=L, Hp=Hp, Wp=Wp, H=H, W=W, P=P, TH=TH)
+        _round_kernel_v2, L=L, Hp=Hp, Wp=Wp, H=H, W=W, P=P, TH=TH,
+        n_rounds=n_rounds)
 
     def prev_map(i):
         return (0, jnp.maximum(i * nb8 - 1, 0), 0)
@@ -534,22 +542,24 @@ def _round_kernel_sharded(row0_ref,
                           hc_m, hc_c, hc_p, hc_t, hc_b,
                           vc_m, vc_c, vc_p, vc_t, vc_b,
                           u_out, hm1_out, hm2_out, vm1_out, vm2_out,
-                          *, L, Wp, H, W, P, TH, nblk):
-    """_round_kernel_v2 (time-tiled red+black round) on one shard's
-    window: halo rows come from the ppermuted 8-row slabs at the window
-    edges (3 above / 6 below both fit in the slabs), masks from the
-    ``row0`` scalar.  One slab exchange feeds BOTH color phases — the
-    fused round also halves the per-iteration collective count."""
+                          *, L, Wp, H, W, P, TH, nblk, n_rounds=1):
+    """_round_kernel_v2 (time-tiled rounds) on one shard's window: halo
+    rows come from the ppermuted 8-row slabs at the window edges (up to 4
+    above / 8 below at n_rounds=2, both within the slabs), masks from the
+    ``row0`` scalar.  One slab exchange feeds ALL fused color phases —
+    fusing also divides the per-iteration collective count."""
     i = pl.program_id(0)
+    np_ = 2 * n_rounds
+    assert np_ <= 4, "halo slabs cover at most 4 phases (8 rows below)"
 
     def halo(m, c, p, t, b):
-        prev = jnp.where(i == 0, t[:, -3:, :], m[:, -3:, :])
-        nxt = jnp.where(i == nblk - 1, b[:, :6, :], p[:, :6, :])
+        prev = jnp.where(i == 0, t[:, -np_:, :], m[:, -np_:, :])
+        nxt = jnp.where(i == nblk - 1, b[:, :2 * np_, :], p[:, :2 * np_, :])
         return jnp.concatenate([prev, c[...], nxt], axis=1)
 
     f32 = jnp.float32
-    R = TH + 9
-    rows = (row0_ref[0] + i * TH - 3) + jax.lax.broadcasted_iota(
+    R = TH + 3 * np_
+    rows = (row0_ref[0] + i * TH - np_) + jax.lax.broadcasted_iota(
         jnp.int32, (R, Wp), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (R, Wp), 1)
     in_rows = (rows >= P).astype(f32) * (rows < P + H).astype(f32)
@@ -569,8 +579,8 @@ def _round_kernel_sharded(row0_ref,
     vm2 = halo(vm2_m, vm2_c, vm2_p, vm2_t, vm2_b)
 
     def halo2(m, c, p, t, b):
-        prev = jnp.where(i == 0, t[-3:, :], m[-3:, :])
-        nxt = jnp.where(i == nblk - 1, b[:6, :], p[:6, :])
+        prev = jnp.where(i == 0, t[-np_:, :], m[-np_:, :])
+        nxt = jnp.where(i == nblk - 1, b[:2 * np_, :], p[:2 * np_, :])
         return jnp.concatenate([prev, c[...], nxt], axis=0)
 
     hc = halo2(hc_m, hc_c, hc_p, hc_t, hc_b)
@@ -597,11 +607,12 @@ def _round_kernel_sharded(row0_ref,
                 (vm1 - v1 * mv1[None] + d) * vedge[None],
                 (vm2 - v2 * mv2[None] + _shift_rows(d, -1)) * vedge[None])
 
-    a = phase(u, hm1, hm2, vm1, vm2, red)
-    b = phase(*a, black)
+    b = (u, hm1, hm2, vm1, vm2)
+    for _ in range(n_rounds):
+        b = phase(*phase(*b, red), black)
 
     def center(x):
-        return x[:, 3:TH + 3]
+        return x[:, np_:TH + np_]
 
     u_out[...] = center(b[0])
     hm1_out[...] = center(b[1])
@@ -610,9 +621,9 @@ def _round_kernel_sharded(row0_ref,
     vm2_out[...] = center(b[4])
 
 
-@functools.partial(jax.jit, static_argnames=("geom", "interpret"))
+@functools.partial(jax.jit, static_argnames=("geom", "n_rounds", "interpret"))
 def round_update_sharded(state, halos, hc_loc, vc_loc, cost_halos, row0, *,
-                         geom, interpret=False):
+                         geom, n_rounds=1, interpret=False):
     """Sharded fused anisotropic round (contract of phase_update_sharded,
     math of round_update_v2): one kernel pass per iteration per shard."""
     L, Hl, Wp, H, W, P, TH = geom
@@ -621,7 +632,8 @@ def round_update_sharded(state, halos, hc_loc, vc_loc, cost_halos, row0, *,
     nb8 = TH // 8
     f32 = jnp.float32
     kernel = functools.partial(
-        _round_kernel_sharded, L=L, Wp=Wp, H=H, W=W, P=P, TH=TH, nblk=nblk)
+        _round_kernel_sharded, L=L, Wp=Wp, H=H, W=W, P=P, TH=TH, nblk=nblk,
+        n_rounds=n_rounds)
 
     def prev_map(i, p):
         return (0, jnp.maximum(i * nb8 - 1, 0), 0)

@@ -393,9 +393,10 @@ class ShardedGridPotts:
                 halos = {k: slabs(v) for k, v in st.items()}
                 row0 = (jax.lax.axis_index(AXIS) * Hl).astype(jnp.int32)[None]
                 costs = {"hc": (hc_t[0], hc_b[0]), "vc": (vc_t[0], vc_b[0])}
-                if params == "round":
+                if params in ("round", "round2"):
                     out = round_update_sharded(
                         st, halos, hc_l, vc_l, costs, row0, geom=geom_p,
+                        n_rounds=2 if params == "round2" else 1,
                         interpret=interpret)
                 else:
                     out = phase_update_sharded(
@@ -444,7 +445,11 @@ class ShardedGridPotts:
         if mode in (ReparametrizationMode.anisotropic,
                     ReparametrizationMode.anisotropic2):
             st = ph(st, (0, 1, 0.0))
-            for _ in range(n):
+            r = n
+            while r >= 2:
+                st = ph(st, "round2")
+                r -= 2
+            if r:
                 st = ph(st, "round")
         else:
             leave = 0.0 if mode == ReparametrizationMode.uniform else 1.0
