@@ -147,6 +147,19 @@ def main():
         "implied_GB_s": round(model_bytes / dt_r / 1e9, 1),
         "pct_of_axpy_bw": round(100.0 * model_bytes / dt_r / 1e9 / bw, 1),
     }
+
+    def r2step():
+        ms["cur"] = round_update_v2(ms["cur"], hc, vc, geom=geom, n_rounds=2)
+
+    r2step(); rfence()
+    dt_r2 = slope_time(r2step, rfence, k_lo=10, k_hi=50)
+    out["fused_2rounds_TH48"] = {
+        "iter_per_s": round(2.0 / dt_r2, 1),
+        "kernel_us": round(dt_r2 * 1e6, 1),
+        "model_GB_per_iter": round(model_bytes / 2e9, 4),
+        "implied_GB_s": round(model_bytes / dt_r2 / 1e9, 1),
+        "pct_of_axpy_bw": round(100.0 * model_bytes / dt_r2 / 1e9 / bw, 1),
+    }
     del ms["cur"]
 
     # --- XLA fused phase for contrast -----------------------------------

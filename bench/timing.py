@@ -48,15 +48,25 @@ def make_fence(probe):
 
 
 def slope_time(step, fence, k_lo: int = 5, k_hi: int = 25, nchunks: int = 5,
-               repeats: int = 2):
+               repeats: int = 2, min_delta: float = 0.35,
+               max_ops: int = 100_000):
     """Per-op seconds of ``step()`` by two-point slope with true fences.
 
     Both legs issue exactly ``nchunks`` fences (so the fixed per-fence
     round-trip cancels in the slope) with the chunk size, i.e. the
     dispatch-queue depth, bounded at k_hi/nchunks (deep async queues
-    have wedged the tunnel).  Returns the best (minimum) slope over
-    ``repeats`` trials; raises if the slope is non-positive (i.e. the
-    runtime lied about completion).
+    have wedged the tunnel).
+
+    CRITICAL for fast ops: device execution overlaps the tunnel
+    round-trips, so if the long leg's extra work fits inside the fences'
+    ~50 ms latency windows the slope measures pure noise and 1/slope can
+    report physically impossible rates (observed: a kernel "measuring"
+    2.6 TB/s of HBM traffic).  The long leg is therefore grown until the
+    measured delta t_hi - t_lo exceeds ``min_delta`` seconds — the slope
+    is only trusted when the extra work dominates fence jitter.
+
+    Returns the best (minimum) trusted slope over ``repeats`` trials;
+    raises if no trustworthy positive slope was obtained.
     """
     assert k_lo % nchunks == 0 and k_hi % nchunks == 0 and k_hi > k_lo
 
@@ -72,14 +82,21 @@ def slope_time(step, fence, k_lo: int = 5, k_hi: int = 25, nchunks: int = 5,
     best = float("inf")
     for _ in range(repeats):
         t_lo = leg(k_lo)
-        t_hi = leg(k_hi)
-        s = (t_hi - t_lo) / (k_hi - k_lo)
-        if s > 0:
+        cur_hi = k_hi
+        while True:
+            t_hi = leg(cur_hi)
+            if t_hi - t_lo >= min_delta or cur_hi >= max_ops:
+                break
+            # grow the long leg so extra work dominates fence round-trips
+            grow = max(2, int(min_delta * 1.5 / max(t_hi - t_lo, 1e-3)))
+            cur_hi = min(max_ops, ((cur_hi * grow) // nchunks) * nchunks)
+        s = (t_hi - t_lo) / (cur_hi - k_lo)
+        if s > 0 and (t_hi - t_lo) >= min_delta * 0.5:
             best = min(best, s)
     if best == float("inf"):
         raise RuntimeError(
-            "non-positive slope: runtime reported completion it cannot "
-            "have performed; increase k_hi or suspect the fence")
+            "no trustworthy slope: the delta never exceeded min_delta "
+            "(op too fast / max_ops too small) or was non-positive")
     return best
 
 
