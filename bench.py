@@ -629,7 +629,11 @@ def main():
                 return False
             emit(rec)
             results.pop(name, None)
-            results[rec["metric"]] = {"its": rec["value"],
+            # key the headline value by its unit ("its" only for iter/s —
+            # solver_e2e's value is a max relative gap, not a rate)
+            vkey = "its" if rec.get("unit") == "iter/s" else rec.get(
+                "unit", "value")
+            results[rec["metric"]] = {vkey: rec["value"],
                                       **rec.get("notes", {})}
             if name == "grid":
                 pallas_its = rec["value"]

@@ -326,6 +326,17 @@ class Engine:
             # 160 vs 9.9, qap 3132 vs 1121, grid 2.94 vs 0.37).
             dense_msgs = (sum(len(b.gids) for b in self.msgs.values())
                           >= 0.25 * max(1, n))
+            if pull is True:
+                # explicit opt-in: validate instead of silently overriding
+                # (pull builds shared-semantics passes and requires the
+                # pull_* hooks on every scheduled message type)
+                assert update_mode == "shared", \
+                    f"pull=True requires update_mode='shared' (got " \
+                    f"{update_mode!r}: pull passes have no residual " \
+                    f"resends / adaptive reweighting)"
+                assert self._pull_supported(self.plans[d]), \
+                    "pull=True requires pull_left/pull_right hooks on " \
+                    "every scheduled message type"
             if (pull == "auto" and update_mode == "shared" and 0 < nph <= 8
                     and dense_msgs and jax.default_backend() == "tpu"
                     and self._pull_supported(self.plans[d])) or pull is True:

@@ -67,10 +67,16 @@ class IncrementalIlp:
         self.A_pattern = self.A.copy()
         self.A_pattern.data = np.ones_like(self.A_pattern.data)
         self._fix_cache: dict[int, np.ndarray] = {}
+        self._fix_cache_prim_id = None
 
     def _fixed_vals(self, fids, fixed_prim):
         """lp_fix vectors for the given outside factors, cached per fid
-        (the LP-region labeling is constant across combiLP rounds)."""
+        (the LP-region labeling is constant across combiLP rounds).  The
+        cache is keyed on the ``fixed_prim`` object identity: a solve with
+        a different labeling invalidates it (ADVICE r4)."""
+        if self._fix_cache_prim_id != id(fixed_prim):
+            self._fix_cache.clear()
+            self._fix_cache_prim_id = id(fixed_prim)
         out = {}
         for fid in fids:
             if fid not in self._fix_cache:
@@ -121,8 +127,10 @@ class IncrementalIlp:
                    bounds=Bounds(lo, hi), options=options)
         # accept time-limit incumbents: HiGHS returns the best feasible
         # integer solution found so far with success=False/status=1, which
-        # is exactly what a time-boxed exact rounding oracle should use
-        if res.x is None:
+        # is exactly what a time-boxed exact rounding oracle should use.
+        # Other non-success statuses (infeasible=2, unbounded=3, numerical
+        # failure=4) may still carry an x — reject those (ADVICE r4).
+        if res.x is None or res.status not in (0, 1):
             return None, float("inf")
 
         x = np.round(res.x).astype(np.int64)

@@ -199,7 +199,7 @@ class ShardedGridPotts:
     """
 
     def __init__(self, unary, hcost, vcost, mesh=None, devices=None,
-                 lane=128, dtype=None, tile_rows=48):
+                 lane=1, dtype=None, tile_rows=48):
         if mesh is None:
             devices = list(devices if devices is not None else jax.devices())
             mesh = Mesh(np.array(devices), (AXIS,))
@@ -208,8 +208,11 @@ class ShardedGridPotts:
         self.dtype = dtype or real_dtype()
         self.tile_rows = tile_rows
 
+        # exact/cheap layout by default; the Pallas fast path lazily
+        # re-packs to (128-lane, tile_rows-row) alignment on first use so
+        # XLA-path users of small grids don't pay 48x128 padding (ADVICE r4)
         state, hc, vc, geom = mask_form(unary, hcost, vcost, self.n, lane,
-                                        self.dtype, row_align=tile_rows)
+                                        self.dtype, row_align=1)
         self.geom = geom
         L, R, C, H, W, P = geom
         self.Hl = R // self.n
@@ -340,11 +343,50 @@ class ShardedGridPotts:
     # update as the single-chip kernel with masks anchored at the shard's
     # global row offset.  Phases dispatch from Python (Mosaic inside
     # fori_loop is ~60x slower on this runtime, bench/pallas_dma_hang.md).
+    def _repack(self, lane, row_align):
+        """Re-pack the live state into a (lane, row_align)-aligned mask
+        form, preserving duals.  Lazy: only the Pallas fast path needs tile
+        alignment, so the constructor keeps the exact lane=1 layout and the
+        first run_fast(kernel='pallas') pays one host round-trip instead of
+        every small-grid XLA user paying 48x128 padding (ADVICE r4)."""
+        L, R, C, H, W, P = self.geom
+        u, hm1, hm2, vm1, vm2 = (np.asarray(x)
+                                 for x in to_dense(self.state, self.geom))
+        state, hc, vc, geom = mask_form(
+            np.moveaxis(u, 0, -1), np.asarray(self.hc)[P:P + H, 1:W],
+            np.asarray(self.vc)[P:P + H - 1, 1:1 + W],
+            self.n, lane, self.dtype, row_align=row_align)
+        Ln, Rn, Cn, Hn, Wn, Pn = geom
+
+        def put(key, arr):
+            buf = np.zeros((L, Rn, Cn), self.dtype)
+            buf[:, Pn:Pn + arr.shape[1], 1:1 + arr.shape[2]] = arr
+            state[key] = buf
+
+        put("hm1", hm1)
+        put("hm2", hm2)
+        put("vm1", vm1)
+        put("vm2", vm2)
+        self.geom = geom
+        self.Hl = Rn // self.n
+        shard3 = NamedSharding(self.mesh, PartitionSpec(None, AXIS, None))
+        self.state = {k: jax.device_put(jnp.asarray(v), shard3)
+                      for k, v in state.items()}
+        self.hc_ext = jax.device_put(
+            self._ext_blocks(hc),
+            NamedSharding(self.mesh, PartitionSpec(AXIS, None, None)))
+        self.vc_ext = jax.device_put(self._ext_blocks(vc),
+                                     self.hc_ext.sharding)
+        self.hc, self.vc = hc, vc
+        self._steps, self._rounds = {}, {}
+
     def _build_pallas(self):
         from ..ops.pallas_grid import phase_update_sharded
+        if self.Hl % self.tile_rows or self.geom[2] % 128:
+            self._repack(128, self.tile_rows)
         L, R, C, H, W, P = self.geom
         TH, Hl, n = self.tile_rows, self.Hl, self.n
-        assert Hl % TH == 0, "constructor row_align guarantees this"
+        assert Hl % TH == 0, "_repack guarantees this"
         geom_p = (L, Hl, C, H, W, P, TH)
         p3 = PartitionSpec(None, AXIS, None)
         p2 = PartitionSpec(AXIS, None)

@@ -125,8 +125,10 @@ def test_mixed_item_then_batch_construction():
     assert len(c.unaries) == 6 and len(c.pairwise) == 4
 
 
-def test_scan_rejects_residual_adaptive():
-    """residual/adaptive keep the unrolled path (documented restriction)."""
+def test_scan_residual_matches_unrolled_small():
+    """Explicit pass_style='scan' with update_mode='residual' runs the scan
+    body (no fallback) and matches the unrolled pass on a small model —
+    smoke twin of test_scan_equals_unrolled_residual_adaptive below."""
     s, _ = random_mrf(3, n=6, extra_edges=2)
     e = Engine(s.graph, schedule_mode="wavefront", pass_style="scan",
                update_mode="residual")
