@@ -111,6 +111,7 @@ class _MsgBlock:
     data: dict             # static per-message data
     lfid: np.ndarray = None  # [M] global factor id of left endpoint
     rfid: np.ndarray = None  # [M] global factor id of right endpoint
+    chunk_of: np.ndarray = None  # [M] build-chunk id (engine_pull slots)
 
 
 @dataclasses.dataclass
@@ -210,7 +211,9 @@ class Engine:
                 ridx=self.f_local[rfid],
                 gids=np.concatenate(d["g"]),
                 data={k: jnp.asarray(v) for k, v in built.items()},
-                lfid=lfid, rfid=rfid)
+                lfid=lfid, rfid=rfid,
+                chunk_of=np.repeat(np.arange(len(d["g"]), dtype=np.int64),
+                                   [len(g) for g in d["g"]]))
         self.n_messages = graph._n_messages
 
         # ---- per-factor send ranks ------------------------------------------
@@ -292,6 +295,9 @@ class Engine:
                 self._unupdated_rows[tname] = rows
 
         self._weights_cache: dict = {}
+        self._weights_cache_np: dict = {}
+        self._pull_folds: dict = {}     # direction -> fold callable
+        self._pull_w_cache: dict = {}   # (mode, direction) -> folded pytree
         self._jit = use_jit
         self._pass_fns = {}
         self._primal_fns = {}
@@ -340,8 +346,10 @@ class Engine:
             if (pull == "auto" and update_mode == "shared" and 0 < nph <= 8
                     and dense_msgs and jax.default_backend() == "tpu"
                     and self._pull_supported(self.plans[d])) or pull is True:
-                self._pass_fns[d] = maybe_jit(
-                    self._make_pass_pull(self.plans[d]))
+                from .engine_pull import make_pull_pass
+                runner, fold = make_pull_pass(self, self.plans[d])
+                self._pass_fns[d] = maybe_jit(runner)
+                self._pull_folds[d] = fold
                 self._primal_fns[d] = maybe_jit(
                     self._make_pass(self.plans[d], primal=True))
                 self._scan_dirs[d] = False
@@ -467,148 +475,6 @@ class Engine:
                         or mt.pull_right is _MT.pull_right):
                     return False
         return True
-
-    def _build_pull_plans(self, plans: list[_PhasePlan]) -> list:
-        """Host structures per phase: for each op, a dense message mask and
-        padded incidence index arrays mapping each target-block row to its
-        incident messages (pad entries point at a clamped row and are
-        zeroed by the validity mask)."""
-        n_rows = {t: int(next(iter(self.state[t].values())).shape[0])
-                  for t in self.state}
-        dtype = real_dtype()
-
-        def incidence(targets, ids, R, M):
-            order = np.argsort(targets, kind="stable")
-            ts, ms = targets[order], ids[order]
-            first = np.ones(len(ts), dtype=bool)
-            if len(ts) > 1:
-                first[1:] = ts[1:] != ts[:-1]
-            pos = np.arange(len(ts)) - np.maximum.accumulate(
-                np.where(first, np.arange(len(ts)), 0))
-            deg = int(pos.max()) + 1 if len(pos) else 1
-            inc = np.full((R, deg), 0, dtype=np.int32)
-            valid = np.zeros((R, deg), dtype=dtype)
-            inc[ts, pos] = ms
-            valid[ts, pos] = 1.0
-            return jnp.asarray(inc), jnp.asarray(valid)
-
-        out = []
-        for plan in plans:
-            stages = {"recv": [], "send": []}
-            op_lists = (("recv", "recv_left", plan.recv_left),
-                        ("recv", "recv_right", plan.recv_right),
-                        ("send", "send_left",
-                         [(n, i) for n, i, _ in plan.send_left]),
-                        ("send", "send_right",
-                         [(n, i) for n, i, _ in plan.send_right]))
-            for stage, kind, lst in op_lists:
-                for name, ids in lst:
-                    blk = self.msgs[name]
-                    M = len(blk.gids)
-                    mask = np.zeros(M, dtype=dtype)
-                    mask[np.asarray(ids)] = 1.0
-                    lrows = np.asarray(blk.lidx)
-                    rrows = np.asarray(blk.ridx)
-                    ln = blk.mtype.left_type.name
-                    rn = blk.mtype.right_type.name
-                    if kind in ("recv_left", "send_right"):
-                        # receiver = left factor (+delta), sender = right
-                        recv_t, send_t = ln, rn
-                        recv_rows, send_rows = lrows, rrows
-                        sender = "right"
-                        wkey = ("recv_left" if kind == "recv_left"
-                                else "omega_right")
-                    else:
-                        recv_t, send_t = rn, ln
-                        recv_rows, send_rows = rrows, lrows
-                        sender = "left"
-                        wkey = ("recv_right" if kind == "recv_right"
-                                else "omega_left")
-                    # identity fast paths: when a side's message->row map is
-                    # the identity (e.g. each compact-Potts row owns exactly
-                    # one message of the type, built in order), the delta is
-                    # already masked to the phase's messages, so the block
-                    # update is a plain full-block add — no gather at all
-                    ids_np = np.asarray(ids)
-
-                    def ident(rows, t):
-                        return (len(rows) == n_rows[t]
-                                and np.array_equal(rows,
-                                                   np.arange(n_rows[t])))
-
-                    r_ident = ident(recv_rows, recv_t)
-                    s_ident = ident(send_rows, send_t)
-                    r_inc = r_val = s_inc = s_val = None
-                    if not r_ident:
-                        r_inc, r_val = incidence(recv_rows[ids_np], ids_np,
-                                                 n_rows[recv_t], M)
-                    if not s_ident:
-                        s_inc, s_val = incidence(send_rows[ids_np], ids_np,
-                                                 n_rows[send_t], M)
-                    sidx = blk.lidx if sender == "left" else blk.ridx
-                    stages[stage].append({
-                        "name": name, "sender": sender, "wkey": wkey,
-                        "sender_type": send_t, "recv_type": recv_t,
-                        "sidx": sidx, "mask": jnp.asarray(mask),
-                        "sid_ident": ident(np.asarray(sidx), send_t),
-                        "recv_inc": r_inc, "recv_val": r_val,
-                        "send_inc": s_inc, "send_val": s_val})
-            out.append(stages)
-        return out
-
-    def _make_pass_pull(self, plans: list[_PhasePlan]):
-        msgs = self.msgs
-        pull_plans = self._build_pull_plans(plans)
-
-        def gather_sum(contrib, inc, valid):
-            g = contrib[inc]                          # [R, deg, ...]
-            v = valid.reshape(valid.shape + (1,) * (contrib.ndim - 1))
-            return jnp.sum(g * v, axis=1)
-
-        def run_stage(state, w, ops):
-            acc: dict = {}
-
-            def add(tname, key, val):
-                k = (tname, key)
-                acc[k] = val if k not in acc else acc[k] + val
-
-            for op in ops:
-                blk = msgs[op["name"]]
-                mt = blk.mtype
-                srows = state[op["sender_type"]] if op["sid_ident"] \
-                    else _gather(state[op["sender_type"]], op["sidx"])
-                marg = (mt.marginal_left if op["sender"] == "left"
-                        else mt.marginal_right)(srows, blk.data)
-                delta = _bmul(marg, w[op["name"]][op["wkey"]] * op["mask"])
-                recv_pull = (mt.pull_right if op["sender"] == "left"
-                             else mt.pull_left)
-                send_pull = (mt.pull_left if op["sender"] == "left"
-                             else mt.pull_right)
-                rc = recv_pull(delta, blk.data, state[op["recv_type"]])
-                sc = send_pull(-delta, blk.data, state[op["sender_type"]])
-                for key, t in rc.items():
-                    add(op["recv_type"], key,
-                        t if op["recv_inc"] is None
-                        else gather_sum(t, op["recv_inc"], op["recv_val"]))
-                for key, t in sc.items():
-                    add(op["sender_type"], key,
-                        t if op["send_inc"] is None
-                        else gather_sum(t, op["send_inc"], op["send_val"]))
-            new_state = dict(state)
-            for (tname, key), a in acc.items():
-                b = dict(new_state[tname])
-                b[key] = b[key] + a
-                new_state[tname] = b
-            return new_state
-
-        def run(state, w):
-            state = dict(state)
-            for stages in pull_plans:
-                state = run_stage(state, w, stages["recv"])
-                state = run_stage(state, w, stages["send"])
-            return state
-
-        return run
 
     # ------------------------------------------------------------------
     def _make_pass(self, plans: list[_PhasePlan], primal: bool,
@@ -1229,18 +1095,39 @@ class Engine:
                 typed, self.n_messages, self.updated)
             assert sched.omega_valid_arrays(w, self.graph.n_factors, typed)
             self._weights_cache[key] = self._weights_to_dict(w)
+            # host copy for the structured pull pass's weight folding
+            self._weights_cache_np[key] = {
+                name: {"omega_left": w.omega_left[blk.gids],
+                       "omega_right": w.omega_right[blk.gids],
+                       "recv_left": w.recv_left[blk.gids],
+                       "recv_right": w.recv_right[blk.gids]}
+                for name, blk in self.msgs.items()}
         return self._weights_cache[key]
+
+    def _pass_weights(self, mode, direction: Direction):
+        """Argument for the direction's dual pass: the standard per-name
+        weight dict, or — for structured pull directions — the folded
+        per-phase/op/slot lane weights (engine_pull.fold_weights)."""
+        if direction not in self._pull_folds:
+            return self.weights(mode, direction)
+        mode = ReparametrizationMode.convert(mode)
+        key = (mode, direction)
+        if key not in self._pull_w_cache:
+            self.weights(mode, direction)
+            self._pull_w_cache[key] = self._pull_folds[direction](
+                self._weights_cache_np[key])
+        return self._pull_w_cache[key]
 
     # ------------------------------------------------------------------
     # public API (Solver-facing, mirrors LP<FMC>)
     # ------------------------------------------------------------------
     def compute_forward_pass(self, mode) -> None:
         self.state = self._pass_fns[Direction.forward](
-            self.state, self.weights(mode, Direction.forward))
+            self.state, self._pass_weights(mode, Direction.forward))
 
     def compute_backward_pass(self, mode) -> None:
         self.state = self._pass_fns[Direction.backward](
-            self.state, self.weights(mode, Direction.backward))
+            self.state, self._pass_weights(mode, Direction.backward))
 
     def compute_pass(self, mode) -> None:
         """One iteration, routed by --reparametrizationType (LP_MP.h:869-887):
