@@ -150,8 +150,14 @@ class Engine:
             # this threshold coloring wins time-to-gap and pulls further
             # ahead with size; below it wavefront's reference-order
             # convergence wins.
-            schedule_mode = "coloring" if graph.n_factors > 50_000 \
-                else "wavefront"
+            # slot-disjoint message types (counting chains) mean hub
+            # factors whose rays would explode the wavefront phase count;
+            # their conflict edges are dropped below, and coloring then
+            # yields a degree-bounded 2-3 phase schedule.
+            has_disjoint = any(ch.mtype.slot_disjoint
+                               for ch in graph.message_chunks())
+            schedule_mode = "coloring" if (graph.n_factors > 50_000
+                                           or has_disjoint) else "wavefront"
         assert schedule_mode in ("wavefront", "coloring", "sequential")
         assert pass_style in ("auto", "unrolled", "scan")
         # --reparametrizationType (LP_MP.h:527-530,588-594)
@@ -261,8 +267,12 @@ class Engine:
         typed = [(blk.mtype.schedule, blk.lfid, blk.rfid)
                  for blk in self.msgs.values()]
         self.updated = sched.updated_mask_from_arrays(n, typed)
+        # conflict adjacency: slot-disjoint message types write disjoint
+        # slices of their shared factor, so factors adjacent only through
+        # them may share a phase (registry.MessageType.slot_disjoint)
         self._adj_csr = sched.adjacency_csr_from_arrays(
-            n, [(l, r) for _, l, r in typed])
+            n, [(blk.lfid, blk.rfid) for blk in self.msgs.values()
+                if not blk.mtype.slot_disjoint])
         indptr, indices = self._adj_csr
 
         if schedule_mode == "coloring":
@@ -477,10 +487,39 @@ class Engine:
         return True
 
     # ------------------------------------------------------------------
+    def _recv_scales(self, plans: Sequence[_PhasePlan]) -> dict:
+        """Per slot-disjoint message type: [M+1] receive-weight scale.
+
+        When k messages of a slot-disjoint type receive from the SAME
+        sender factor within one phase, each strips the full min-marginal
+        computed from one snapshot — k simultaneous full receives drain
+        k x the sender's mass and the duals diverge exponentially
+        (measured on tomography chains).  Scaling each by 1/k is the
+        parallel-diffusion cure: the phase then moves exactly the mass one
+        sequential receive would, split evenly across the ray (same fixed
+        points; the monotone-lb invariant test pins stability)."""
+        from .config import real_dtype as _rd
+        out = {}
+        for plan in plans:
+            for lst, fid_attr in ((plan.recv_left, "rfid"),
+                                  (plan.recv_right, "lfid")):
+                for name, ids in lst:
+                    blk = self.msgs[name]
+                    if not blk.mtype.slot_disjoint:
+                        continue
+                    arr = out.setdefault(
+                        name, np.ones(len(blk.gids) + 1))
+                    f = getattr(blk, fid_attr)[ids]
+                    _, inv, cnt = np.unique(f, return_inverse=True,
+                                            return_counts=True)
+                    arr[ids] = 1.0 / cnt[inv]
+        return {k: jnp.asarray(v, dtype=_rd()) for k, v in out.items()}
+
     def _make_pass(self, plans: list[_PhasePlan], primal: bool,
                    update_mode: str = "shared", restricted: bool = False):
         msgs = self.msgs
         ftypes = self.ftypes
+        recv_scale = self._recv_scales(plans)
         n_factors = self.graph.n_factors
         # partition/overlapping route through plain shared updates inside each
         # block pass (LP_MP.h:981-990)
@@ -579,15 +618,31 @@ class Engine:
             for name, ids in plan.recv_left:
                 blk = msgs[name]
                 mt = blk.mtype
-                sl = _gather(state[mt.right_type.name], blk.ridx[ids])
-                delta = mt.marginal_right(sl, _gather(blk.data, ids))
-                ops.append((name, ids, _bmul(delta, w[name]["recv_left"][ids]), False))
+                if mt.marginal_right_block is not None:
+                    # batched dedup hook: one DP over the sender block
+                    # instead of one per gathered message row
+                    delta = mt.marginal_right_block(
+                        state[mt.right_type.name], blk.data, blk.ridx)[ids]
+                else:
+                    sl = _gather(state[mt.right_type.name], blk.ridx[ids])
+                    delta = mt.marginal_right(sl, _gather(blk.data, ids))
+                wv = w[name]["recv_left"][ids]
+                if name in recv_scale:
+                    wv = wv * recv_scale[name][ids]
+                ops.append((name, ids, _bmul(delta, wv), False))
             for name, ids in plan.recv_right:
                 blk = msgs[name]
                 mt = blk.mtype
-                sl = _gather(state[mt.left_type.name], blk.lidx[ids])
-                delta = mt.marginal_left(sl, _gather(blk.data, ids))
-                ops.append((name, ids, _bmul(delta, w[name]["recv_right"][ids]), True))
+                if mt.marginal_left_block is not None:
+                    delta = mt.marginal_left_block(
+                        state[mt.left_type.name], blk.data, blk.lidx)[ids]
+                else:
+                    sl = _gather(state[mt.left_type.name], blk.lidx[ids])
+                    delta = mt.marginal_left(sl, _gather(blk.data, ids))
+                wv = w[name]["recv_right"][ids]
+                if name in recv_scale:
+                    wv = wv * recv_scale[name][ids]
+                ops.append((name, ids, _bmul(delta, wv), True))
             for name, ids, delta, from_left in ops:
                 state = apply_delta(state, name, ids, delta, from_left)
 
@@ -716,6 +771,7 @@ class Engine:
         """
         msgs, ftypes = self.msgs, self.ftypes
         n_factors = self.graph.n_factors
+        recv_scale = self._recv_scales(plans)
         if primal:
             update_mode = "shared"
         n_phases = len(plans)
@@ -821,20 +877,34 @@ class Engine:
                     ids = x[f"{name}|rl"]
                     blk = msgs[name]
                     mt = blk.mtype
-                    sl = _gather(state[mt.right_type.name],
-                                 ridx_pad[name][ids])
-                    delta = mt.marginal_right(sl, _gather(blk.data, ids))
-                    ops.append((name, ids,
-                                _bmul(delta, w[name]["recv_left"][ids]), False))
+                    if mt.marginal_right_block is not None:
+                        delta = mt.marginal_right_block(
+                            state[mt.right_type.name], blk.data,
+                            blk.ridx)[jnp.minimum(ids, len(blk.gids) - 1)]
+                    else:
+                        sl = _gather(state[mt.right_type.name],
+                                     ridx_pad[name][ids])
+                        delta = mt.marginal_right(sl, _gather(blk.data, ids))
+                    wv = w[name]["recv_left"][ids]
+                    if name in recv_scale:
+                        wv = wv * recv_scale[name][ids]
+                    ops.append((name, ids, _bmul(delta, wv), False))
                 for name in rr_n:
                     ids = x[f"{name}|rr"]
                     blk = msgs[name]
                     mt = blk.mtype
-                    sl = _gather(state[mt.left_type.name],
-                                 lidx_pad[name][ids])
-                    delta = mt.marginal_left(sl, _gather(blk.data, ids))
-                    ops.append((name, ids,
-                                _bmul(delta, w[name]["recv_right"][ids]), True))
+                    if mt.marginal_left_block is not None:
+                        delta = mt.marginal_left_block(
+                            state[mt.left_type.name], blk.data,
+                            blk.lidx)[jnp.minimum(ids, len(blk.gids) - 1)]
+                    else:
+                        sl = _gather(state[mt.left_type.name],
+                                     lidx_pad[name][ids])
+                        delta = mt.marginal_left(sl, _gather(blk.data, ids))
+                    wv = w[name]["recv_right"][ids]
+                    if name in recv_scale:
+                        wv = wv * recv_scale[name][ids]
+                    ops.append((name, ids, _bmul(delta, wv), True))
                 for name, ids, delta, from_left in ops:
                     state = apply_delta(state, name, ids, delta, from_left)
 

@@ -132,6 +132,16 @@ class MessageType:
     left_type: FactorType
     right_type: FactorType
     schedule: MessageSchedule = MessageSchedule.left()
+    # Slot-disjoint updates: every message of this type writes a DISJOINT
+    # slice of its shared factor (e.g. counting messages repam
+    # lam[ridx, pos] at per-message positions), so two active factors
+    # sharing a neighbor only through this type may update in the SAME
+    # phase — their receives read one snapshot and their sends commute.
+    # The engine then drops this type's edges from the conflict adjacency
+    # (schedule phases stay degree-bounded even with 64-variable ray
+    # factors).  Analogous latitude to the reference's OpenMP mode, which
+    # runs factor updates concurrently per thread (LP_MP.h:942-978).
+    slot_disjoint: bool = False
 
     def build(self, instances: Sequence[Any]) -> dict:
         """Pack per-message static data (may be empty)."""
@@ -153,6 +163,17 @@ class MessageType:
     def marginal_right(self, right_costs: dict, data: dict) -> jnp.ndarray:
         """[M, D...] min-marginal the RIGHT factor pushes (send_message_to_left)."""
         raise NotImplementedError
+
+    # -- block marginals (optional dedup hooks) ----------------------------
+    # When many messages of one type read the same sender row (counting
+    # chains: V messages per chain factor), the per-message marginal
+    # repeats the sender's whole DP per message — a V-fold blowup.  A type
+    # may instead compute the marginals of ALL its messages straight from
+    # the full sender block in one batched DP; the engine gathers the
+    # [M, D...] result by its phase ids.  ``None`` (the class attribute)
+    # means "no hook"; override with a method to opt in.
+    marginal_left_block = None      # (self, left_block, data, lidx) -> [M, D]
+    marginal_right_block = None     # (self, right_block, data, ridx) -> [M, D]
 
     # -- restricted (primal-conditioned) marginals --------------------------
     # One-sided restricted messages for rounding (OneSideMessageContainerView,
