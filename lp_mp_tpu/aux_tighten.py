@@ -52,9 +52,16 @@ class AuxTripletPass:
         self.w_recv = None          # [3, cap] receive weights (1/#sharers)
         self.fids: list[int] = []   # graph factor ids of absorbed triplets
         self._dims = None
+        # host-side staging: add() must not touch the device (a tightening
+        # round absorbs hundreds of triplets, and one device round-trip per
+        # add cost ~15 s per tighten on the tunnel runtime); _sync() writes
+        # all pending rows in one batched update
+        self._pending: list[tuple[np.ndarray, tuple[int, int, int]]] = []
+        self._lidx_host: list[tuple[int, int, int]] = []
         self._update = jax.jit(self._update_impl)
         self._lb = jax.jit(lambda c, m: jnp.sum(
             jnp.minimum(jnp.min(c, axis=(1, 2, 3)), 0.0) * m))
+        self._eval = jax.jit(self._eval_impl)
 
     def __bool__(self):
         return self.n > 0
@@ -63,7 +70,8 @@ class AuxTripletPass:
     def add(self, engine, fid: int, data: np.ndarray,
             pairwise_rows: tuple[int, int, int]) -> None:
         """Absorb one ternary factor with its three pairwise endpoints
-        (rows into the engine's dense pairwise block, slot order 12/13/23)."""
+        (rows into the engine's dense pairwise block, slot order 12/13/23).
+        Host-side staging only; the device arrays update on next use."""
         dims = tuple(data.shape)
         if self._dims is None:
             # label capacity = the engine's padded pairwise width (chords of
@@ -73,23 +81,38 @@ class AuxTripletPass:
                           max(dims[2], Lp[0], Lp[1]))
         dims_cap = self._dims
         assert all(d <= dc for d, dc in zip(dims, dims_cap))
-        if self.n == self.cap:
-            self._grow(max(_MIN_CAP, 2 * self.cap))
-        row = self.n
         block = np.full(dims_cap, PAD_COST, dtype=real_dtype())
         block[:dims[0], :dims[1], :dims[2]] = data
-        self.c = self.c.at[row].set(jnp.asarray(block))
-        self.lidx = self.lidx.at[:, row].set(jnp.asarray(pairwise_rows))
-        self.active = self.active.at[row].set(1.0)
+        self._pending.append((block, tuple(int(r) for r in pairwise_rows)))
+        self._lidx_host.append(tuple(int(r) for r in pairwise_rows))
         self.fids.append(fid)
         self.n += 1
+
+    def _sync(self) -> None:
+        """Write staged rows into the device arrays (one batched update)
+        and refresh the shared-pairwise receive weights."""
+        if not self._pending:
+            return
+        if self.n > self.cap:
+            new_cap = max(_MIN_CAP, self.cap)
+            while new_cap < self.n:
+                new_cap *= 2
+            self._grow(new_cap)
+        n0 = self.n - len(self._pending)
+        blocks = np.stack([b for b, _ in self._pending])
+        rows = np.stack([r for _, r in self._pending], axis=1)  # [3, P]
+        self.c = self.c.at[n0:self.n].set(jnp.asarray(blocks))
+        self.lidx = self.lidx.at[:, n0:self.n].set(
+            jnp.asarray(rows, dtype=jnp.int32))
+        self.active = self.active.at[n0:self.n].set(1.0)
+        self._pending = []
         # receive weight 1/k per message, k = #triplet slots pulling from the
         # same pairwise row: the batched receive splits the marginal evenly,
         # draining the pairwise exactly once (monotone: min is superadditive)
-        li = np.asarray(self.lidx)[:, :self.n]
+        li = np.asarray(self._lidx_host, dtype=np.int64).T  # [3, n]
         cnt = np.bincount(li.reshape(-1),
                           minlength=int(li.max(initial=0)) + 1)
-        w = np.zeros((3, self.cap), dtype=np.asarray(self.active).dtype)
+        w = np.zeros((3, self.cap), dtype=real_dtype())
         w[:, :self.n] = 1.0 / cnt[li]
         self.w_recv = jnp.asarray(w)
 
@@ -134,6 +157,7 @@ class AuxTripletPass:
     def run(self, engine) -> None:
         if not self.n:
             return
+        self._sync()
         pw = engine.state[PAIRWISE_SIMPLEX.name]
         new_pw_c, self.c = self._update(pw["c"], self.c, self.lidx,
                                         self.active, self.w_recv)
@@ -143,26 +167,33 @@ class AuxTripletPass:
     def lower_bound(self) -> float:
         if not self.n:
             return 0.0
+        self._sync()
         return float(self._lb(self.c, self.active))
+
+    def _eval_impl(self, c, lidx, active, pw_prim):
+        tp = TERNARY_SIMPLEX.init_primal({"c": c})
+        ridx = jnp.arange(c.shape[0])
+        for s, mt in enumerate(_SLOTS):
+            tp = mt.propagate_primal_l2r(pw_prim, tp, lidx[s], ridx, {})
+        act = active > 0
+        ok = True
+        for s, mt in enumerate(_SLOTS):
+            cons = mt.consistent(pw_prim, tp, lidx[s], ridx, {})
+            ok = ok & jnp.all(jnp.where(act, cons, True))
+        val = TERNARY_SIMPLEX.evaluate_primal({"c": c}, tp)
+        total = jnp.sum(jnp.where(act, val, 0.0))
+        return jnp.where(ok, total, jnp.inf)
 
     def evaluate_primal(self, engine, prim) -> float:
         """Triplet primal by propagation from the pairwise labels; returns
-        the triplets' cost, +inf if any active triplet is inconsistent."""
+        the triplets' cost, +inf if any active triplet is inconsistent.
+        One jitted call: the unjitted op-by-op version paid ~10 dispatch
+        round-trips per evaluation on the tunnel runtime."""
         if not self.n:
             return 0.0
-        pw_prim = prim[PAIRWISE_SIMPLEX.name]
-        tp = TERNARY_SIMPLEX.init_primal({"c": self.c})
-        ridx = jnp.arange(self.cap)
-        for s, mt in enumerate(_SLOTS):
-            tp = mt.propagate_primal_l2r(pw_prim, tp, self.lidx[s], ridx, {})
-        act = self.active > 0
-        ok = True
-        for s, mt in enumerate(_SLOTS):
-            cons = mt.consistent(pw_prim, tp, self.lidx[s], ridx, {})
-            ok = ok & jnp.all(jnp.where(act, cons, True))
-        val = TERNARY_SIMPLEX.evaluate_primal({"c": self.c}, tp)
-        total = jnp.sum(jnp.where(act, val, 0.0))
-        return float(jnp.where(ok, total, jnp.inf))
+        self._sync()
+        return float(self._eval(self.c, self.lidx, self.active,
+                                prim[PAIRWISE_SIMPLEX.name]))
 
     # ------------------------------------------------------------------
     def fold_into(self, engine) -> None:
@@ -170,6 +201,7 @@ class AuxTripletPass:
         engine's ternary block and reset this pass."""
         if not self.n:
             return
+        self._sync()
         name = TERNARY_SIMPLEX.name
         block = dict(engine.state[name])
         rows = engine.f_local[np.asarray(self.fids)]
@@ -189,6 +221,8 @@ class AuxTripletPass:
         self.c = self.lidx = self.active = self.w_recv = None
         self.fids = []
         self._dims = None
+        self._pending = []
+        self._lidx_host = []
 
 
 def absorbable(graph, engine, n0: int, m0: int) -> "list | None":

@@ -160,6 +160,8 @@ class Engine:
                                            or has_disjoint) else "wavefront"
         assert schedule_mode in ("wavefront", "coloring", "sequential")
         assert pass_style in ("auto", "unrolled", "scan")
+        from .config import ensure_compilation_cache
+        ensure_compilation_cache()
         # --reparametrizationType (LP_MP.h:527-530,588-594)
         assert update_mode in ("shared", "residual", "adaptive",
                                "partition", "overlapping_partition")
