@@ -149,7 +149,8 @@ def generic_measurements(shard_counts):
                             lambda: jax.block_until_ready(se.state), n=10)
             out[name][f"sharded_n{n}"] = {
                 "its": round(its, 2), "build_s": round(build_s, 1),
-                "compile_s": round(compile_s, 1)}
+                "compile_s": round(compile_s, 1),
+                "collectives": se.collective_stats()}
     return out
 
 

@@ -95,10 +95,17 @@ class ShardedEngine:
         self.constant = graph.constant
         n = graph.n_factors
 
-        # ---- ownership: balanced contiguous chunks of the forward order
-        # (construct_factor_partition contiguity, LP_MP.h:1716-1842) ------
+        # ---- ownership: balanced contiguous chunks of the LOCALITY order
+        # (construct_factor_partition contiguity, LP_MP.h:1716-1842).
+        # NOT the schedule order: the coloring order groups by color, so
+        # contiguous chunks of it put every red-black edge on the cut
+        # (measured: 88k cut pairwise rows on a 304x304 grid at n=2, 3.5 MB
+        # per collective).  The relation toposort follows the model's
+        # construction geometry (row-major for grids), giving boundary-only
+        # cuts.
         if owner is None:
-            order = np.asarray(base.orders[Direction.forward])
+            from .. import schedule as _sched
+            order = np.asarray(_sched.toposort(n, graph.forward_relations))
             owner = np.zeros(n, dtype=np.int32)
             for d, ch in enumerate(np.array_split(order, self.n_dev)):
                 owner[ch] = d
@@ -155,6 +162,8 @@ class ShardedEngine:
 
         # ---- plan compilation ----------------------------------------------
         self._xs: dict = {}
+        self._xs_phases: dict = {}
+        self._cross: dict = {}
         self._nph: dict = {}
         self._find_cut_rows()
         for d in (Direction.forward, Direction.backward):
@@ -336,7 +345,31 @@ class ShardedEngine:
                             src_d, FL + len(self._cutP_rows[st])),
                         "dst": _stack_pad(dst_d, self.F_loc[rt])})
 
-        # densify to [n_dev, nph, W]
+        # per-phase dicts with tight widths (unrolled few-phase path: no
+        # max-W padding, ops only where they occur, collectives skipped
+        # when a phase has no cross-shard receivers)
+        xs_phase = [dict() for _ in range(nph)]
+        cross = [dict() for _ in range(nph)]
+        for (name, kind), per_phase in slots.items():
+            for p, f in enumerate(per_phase):
+                if f is None:
+                    continue
+                for fkey, arr in f.items():
+                    xs_phase[p]["|".join((name, kind, fkey))] = \
+                        jax.device_put(np.ascontiguousarray(arr),
+                                       self._shard1)
+                if kind in _KINDS:
+                    mt = self.base.msgs[name].mtype
+                    sside = _KINDS[kind][0]
+                    rt = (mt.left_type.name if sside == "right"
+                          else mt.right_type.name)
+                    CD = len(self._cutD_rows[rt])
+                    if CD and (f["wc"] < CD).any():
+                        cross[p][rt] = True
+        self._xs_phases[direction] = xs_phase
+        self._cross[direction] = cross
+
+        # densify to [n_dev, nph, W] (scan path for many-phase schedules)
         xs = {}
         for (name, kind), per_phase in slots.items():
             fkeys = next(f for f in per_phase if f is not None).keys()
@@ -387,6 +420,15 @@ class ShardedEngine:
         kind_names = {k: sorted({key.split("|")[0] for key in xs_all
                                  if key.split("|")[1] == k})
                       for k in ("rl", "rr", "sl", "sr", "fr", "pl", "pr")}
+        # unrolled few-phase path: per-phase op presence + cross flags
+        xs_phases = self._xs_phases[direction]
+        cross_ph = self._cross[direction]
+        unroll = 0 < nph <= 8
+        names_ph = [
+            {k: sorted({key.split("|")[0] for key in xp
+                        if key.split("|")[1] == k})
+             for k in ("rl", "rr", "sl", "sr", "fr", "pl", "pr")}
+            for xp in xs_phases]
 
         def compute_delta(state, w, x, kind, name):
             blk = msgs[name]
@@ -401,7 +443,7 @@ class ShardedEngine:
             wv = w[name][wkey][mid]
             return delta * wv.reshape((-1,) + (1,) * (delta.ndim - 1))
 
-        def apply_ops(state, own_d, x, ops):
+        def apply_ops(state, own_d, x, ops, allow=None):
             bufs: dict = {}
             for kind, name, delta in ops:
                 blk = msgs[name]
@@ -420,7 +462,7 @@ class ShardedEngine:
                                     -delta, data)
                 state[rt] = repam_r(state[rt], x[f"{name}|{kind}|wl"],
                                     delta, data)
-                if cutD_C.get(rt, 0):
+                if cutD_C.get(rt, 0) and (allow is None or rt in allow):
                     if rt not in bufs:
                         bufs[rt] = {k: jnp.zeros(
                             (cutD_C[rt] + 1,) + v.shape[1:], v.dtype)
@@ -449,16 +491,18 @@ class ShardedEngine:
                      for k, v in prim[t].items()}, AXIS)
             return out
 
-        def make_body(w, own_d, own_p):
+        def make_body(w, own_d, own_p, names=None, allow=None):
+            names = kind_names if names is None else names
+
             def body(carry, x):
                 state, prim = carry
                 state = dict(state)
                 prim = dict(prim) if primal else prim
                 ops = [(k, nm, compute_delta(state, w, x, k, nm))
-                       for k in ("rl", "rr") for nm in kind_names[k]]
-                state = apply_ops(state, own_d, x, ops)
+                       for k in ("rl", "rr") for nm in names[k]]
+                state = apply_ops(state, own_d, x, ops, allow)
                 if primal:
-                    for tname in kind_names["fr"]:
+                    for tname in names["fr"]:
                         rows = x[f"{tname}|fr|rows"]
                         newp = ftypes[tname].compute_primal(
                             _gather(state[tname], rows),
@@ -466,19 +510,19 @@ class ShardedEngine:
                         prim[tname] = {k: prim[tname][k].at[rows]
                                        .set(newp[k]) for k in prim[tname]}
                 ops = [(k, nm, compute_delta(state, w, x, k, nm))
-                       for k in ("sl", "sr") for nm in kind_names[k]]
-                state = apply_ops(state, own_d, x, ops)
+                       for k in ("sl", "sr") for nm in names[k]]
+                state = apply_ops(state, own_d, x, ops, allow)
                 if primal:
                     for kind, l2r in (("pl", True), ("pr", False)):
-                        names = kind_names[kind]
-                        if not names:
+                        names_k = names[kind]
+                        if not names_k:
                             continue
                         src_types = {
                             (msgs[nm].mtype.left_type.name if l2r
                              else msgs[nm].mtype.right_type.name)
-                            for nm in names}
+                            for nm in names_k}
                         cut = exchange_primal(prim, own_p, src_types)
-                        for name in names:
+                        for name in names_k:
                             mt = msgs[name].mtype
                             st = (mt.left_type.name if l2r
                                   else mt.right_type.name)
@@ -515,12 +559,23 @@ class ShardedEngine:
         def unstrip(tree):
             return jax.tree.map(lambda a: a[None], tree)
 
+        xs_arg = xs_phases if unroll else xs_all
+        xsu_specs = [{k: P(AXIS) for k in xp} for xp in xs_phases] \
+            if unroll else xs_specs
+
         if primal:
             def inner(state, prim, w, xs, own_d, own_p, unu):
                 state, prim = strip(state), strip(prim)
                 xs = strip(xs)
                 own_d, own_p, unu = strip(own_d), strip(own_p), strip(unu)
-                if nph:
+                if unroll:
+                    carry = (state, prim)
+                    for p in range(nph):
+                        carry, _ = make_body(
+                            w, own_d, own_p, names_ph[p],
+                            cross_ph[p])(carry, xs[p])
+                    state, prim = carry
+                elif nph:
                     (state, prim), _ = jax.lax.scan(
                         make_body(w, own_d, own_p), (state, prim), xs,
                         length=nph)
@@ -536,16 +591,23 @@ class ShardedEngine:
                 w_specs = jax.tree.map(lambda _: P(), w)
                 prim_specs = {t: {k: P(AXIS) for k in prim[t]} for t in prim}
                 fn = _smap(inner, mesh,
-                           (state_specs, prim_specs, w_specs, xs_specs,
+                           (state_specs, prim_specs, w_specs, xsu_specs,
                             idx_specs, idxP_specs, unupd_specs),
                            (state_specs, prim_specs))
-                return fn(state, prim, w, xs_all, ownD, ownP, unupd)
+                return fn(state, prim, w, xs_arg, ownD, ownP, unupd)
         else:
             def inner(state, w, xs, own_d):
                 state = strip(state)
                 xs = strip(xs)
                 own_d = strip(own_d)
-                if nph:
+                if unroll:
+                    carry = (state, None)
+                    for p in range(nph):
+                        carry, _ = make_body(
+                            w, own_d, None, names_ph[p],
+                            cross_ph[p])(carry, xs[p])
+                    state = carry[0]
+                elif nph:
                     (state, _), _ = jax.lax.scan(
                         make_body(w, own_d, None), (state, None), xs,
                         length=nph)
@@ -554,9 +616,9 @@ class ShardedEngine:
             def run(state, w):
                 w_specs = jax.tree.map(lambda _: P(), w)
                 fn = _smap(inner, mesh,
-                           (state_specs, w_specs, xs_specs, idx_specs),
+                           (state_specs, w_specs, xsu_specs, idx_specs),
                            state_specs)
-                return fn(state, w, xs_all, ownD)
+                return fn(state, w, xs_arg, ownD)
         return run
 
     # ------------------------------------------------------------------
@@ -576,6 +638,27 @@ class ShardedEngine:
 
         fn = _smap(inner, mesh, (state_specs, valid_specs), P(AXIS))
         return fn
+
+    # ------------------------------------------------------------------
+    def collective_stats(self) -> dict:
+        """Per receiver type: cut-row count and bytes moved by one dual
+        psum (the [C+1, ...] consensus buffer, all state keys).  Collective
+        count per pass = phases x stages-with-cross-receivers; on the
+        virtual CPU mesh each collective costs a fixed ~0.25 ms latency,
+        so small models are latency-floored while >10^5-factor models
+        amortize it (bench/sharded_measurements_out.jsonl)."""
+        out = {}
+        for t, rows in self._cutD_rows.items():
+            if not len(rows):
+                continue
+            row_bytes = sum(
+                int(np.prod(v.shape[2:], dtype=np.int64))
+                * np.dtype(v.dtype).itemsize
+                for v in self._local[t].values())
+            out[t] = {"cut_rows": int(len(rows)),
+                      "bytes_per_collective": int((len(rows) + 1)
+                                                  * row_bytes)}
+        return out
 
     # ------------------------------------------------------------------
     # Engine-compatible public API
