@@ -11,7 +11,7 @@ Workloads (BASELINE.json "configs"), flagship first:
   1. 1000x1000 grid Potts MRF   — fused Pallas phase kernel (flagship) and
                                    the XLA fused path, it/s + iters/time to
                                    1e-4 relative gap
-  2. same grid, generic engine   — coloring schedule, scan pass
+  2. same grid, generic engine   — structured pull pass (engine_pull)
   3. chain MRF (simplex+Potts)  — 100k variables, it/s + time to 1e-4
                                    relative gap vs the exact DP optimum
   4. multicut + cycle separation — 1.5e5-edge graph, post-tighten sweep it/s
@@ -516,18 +516,21 @@ def bench_sharded():
     from lp_mp_tpu.models.grid_potts import random_grid
     from lp_mp_tpu.parallel.grid import ShardedGridPotts
 
+    axpy = session_axpy_gbps()
     u, hc, vc = random_grid(H, W, L, seed=1)
     m = ShardedGridPotts(u, hc, vc, devices=jax.devices()[:1],
                          dtype=np.float32)
     fence = state_fence(lambda: m.state)
     m.run_fast(10, kernel="pallas")
     fence()
-    its = measured_its(lambda: m.run_fast(20, kernel="pallas"), fence,
-                       per_call=20)
+    meas = sorted(measured_its(lambda: m.run_fast(20, kernel="pallas"),
+                               fence, per_call=20) for _ in range(3))
     return emit({
         "metric": "grid_potts_1000x1000_sharded_pallas_1dev",
-        "value": round(its, 2), "unit": "iter/s",
+        "value": round(meas[1], 2), "unit": "iter/s",
         "notes": {"lb_after_bench": round(m.lower_bound(), 3),
+                  "its_spread": [round(meas[0], 2), round(meas[2], 2)],
+                  "axpy_GBps": axpy,
                   "halo": "8-row ppermute slabs per phase"}})
 
 

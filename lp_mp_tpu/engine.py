@@ -140,23 +140,24 @@ class Engine:
                  pull: "str | bool" = "auto"):
         if schedule_mode == "auto":
             # coloring keeps the phase count graph-degree-bounded on big
-            # graphs; wavefront preserves the reference sweep order on small.
-            # Measured tradeoff (bench/convergence_schedules_out.jsonl +
-            # BENCH notes): on frustrated grids coloring needs ~5x the
-            # iterations of the wavefront/reference order (e.g. 250 vs 50
-            # at 128x128 to a 1e-4 gap), but its 2 phases run ~4.5x faster
-            # per pass on TPU already at 200x200 (28.2 vs 6.3 it/s) and the
-            # wavefront phase count grows with graph diameter — so above
-            # this threshold coloring wins time-to-gap and pulls further
-            # ahead with size; below it wavefront's reference-order
-            # convergence wins.
+            # graphs; wavefront preserves the reference sweep order on
+            # small.  Direct TPU time-to-gap (bench/schedule_study_out
+            # .jsonl, r5: wall seconds to 1e-4 of the converged bound,
+            # wavefront vs coloring): 6.8k factors 3.3 vs 12.5 (wavefront
+            # wins), 29.8k 12.8 vs 6.1, 269k never-in-240s vs 6.2, 3M
+            # unreachable (200 s compile) vs 29.5 — the structured pull
+            # pass (engine_pull) makes coloring's 2 phases dominate from
+            # ~20k factors despite its ~4x iteration penalty.  On CPU the
+            # pull pass is off and the r4 measurement (wavefront-order
+            # convergence wins small/medium) keeps the old 50k cutover.
             # slot-disjoint message types (counting chains) mean hub
             # factors whose rays would explode the wavefront phase count;
             # their conflict edges are dropped below, and coloring then
             # yields a degree-bounded 2-3 phase schedule.
             has_disjoint = any(ch.mtype.slot_disjoint
                                for ch in graph.message_chunks())
-            schedule_mode = "coloring" if (graph.n_factors > 50_000
+            thresh = 20_000 if jax.default_backend() == "tpu" else 50_000
+            schedule_mode = "coloring" if (graph.n_factors > thresh
                                            or has_disjoint) else "wavefront"
         assert schedule_mode in ("wavefront", "coloring", "sequential")
         assert pass_style in ("auto", "unrolled", "scan")
