@@ -688,6 +688,16 @@ def run_one(name: str) -> None:
 
 
 def emit_summary(results, pallas_its, grid_notes, ref, pending):
+    # headline = best PRODUCTION fused-kernel path measured this run: the
+    # dense 2-round kernel or the sharded driver at n=1 (same kernel family;
+    # whichever the current service window favors — both records with
+    # spread + same-session axpy are under "workloads")
+    kernel = "pallas 2-round (ops/pallas_grid.round_update_v2)"
+    sh = results.get("grid_potts_1000x1000_sharded_pallas_1dev")
+    if sh and isinstance(sh.get("its"), (int, float)) and (
+            pallas_its is None or sh["its"] > pallas_its):
+        pallas_its = sh["its"]
+        kernel = "pallas 2-round, sharded driver n=1 "                  "(ops/pallas_grid.round_update_sharded)"
     vs = (pallas_its / ref if pallas_its is not None
           and ref == ref and ref > 0 else None)
     emit({
@@ -696,7 +706,7 @@ def emit_summary(results, pallas_its, grid_notes, ref, pending):
         "unit": "iter/s",
         "vs_baseline": round(vs, 2) if vs is not None else None,
         "notes": {
-            "kernel": "pallas_fused_phase (ops/pallas_grid.phase_update_v2)",
+            "kernel": kernel,
             "isolation": "one subprocess per workload",
             "timing": "slope, d2h fences (bench/timing.py)",
             "pending_workloads": pending,
