@@ -790,7 +790,7 @@ def phase_update(params, state, hc, vc, *, geom, interpret=False):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(Hp // TH,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 7,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 7,
         out_specs=[pl.BlockSpec((L, TH, Wp), lambda i, p: (0, i, 0),
                                 memory_space=pltpu.VMEM)] * 5,
         scratch_shapes=[pltpu.VMEM((L, TH + 3, Wp), f32)] * 5
