@@ -74,11 +74,12 @@ class GridPottsModel:
         vcost = np.asarray(vcost, dtype=dtype)
         assert hcost.shape == (H, W - 1) and vcost.shape == (H - 1, W)
 
-        self.state = {
+        self._state = {
             "u": jnp.asarray(np.moveaxis(unary, -1, 0)),
             "hm1": jnp.zeros((L, H, W - 1), dtype), "hm2": jnp.zeros((L, H, W - 1), dtype),
             "vm1": jnp.zeros((L, H - 1, W), dtype), "vm2": jnp.zeros((L, H - 1, W), dtype),
         }
+        self._mask_state = None     # Pallas-layout cache (see state property)
         self.hc = jnp.asarray(hcost)
         self.vc = jnp.asarray(vcost)
 
@@ -223,7 +224,23 @@ class GridPottsModel:
             self.vc.astype(jnp.float32))
         return hc, vc
 
-    def _run_fast_pallas(self, s, mode, n, interpret):
+    @property
+    def state(self):
+        """Dense dual state.  The Pallas hot path keeps the padded mask
+        layout cached between run_fast calls (converting both ways per
+        call cost ~8% of the kernel's own HBM traffic, measured r5); the
+        dense view materializes lazily here."""
+        if self._state is None:
+            geom = self._pallas_geom()
+            self._state = self._from_mask(self._mask_state, geom)
+        return self._state
+
+    @state.setter
+    def state(self, value):
+        self._state = value
+        self._mask_state = None
+
+    def _run_fast_pallas(self, mode, n, interpret):
         """n iterations through the fused Pallas phase kernel.  Color codes:
         1=black, 2=red (ops/pallas_grid.phase_update_v2 contract).
 
@@ -237,7 +254,8 @@ class GridPottsModel:
         if self._pallas_costs_cache is None:
             self._pallas_costs_cache = self._pallas_costs(geom)
         hc, vc = self._pallas_costs_cache
-        m = self._to_mask(s, geom)
+        m = self._mask_state if self._mask_state is not None \
+            else self._to_mask(self._state, geom)
 
         def ph(m, params):
             return phase_update_v2(m, hc, vc, geom=geom, phase_params=params,
@@ -266,7 +284,8 @@ class GridPottsModel:
             for _ in range(n):
                 for p in cyc:
                     m = ph(m, p)
-        return self._from_mask(m, geom)
+        self._mask_state = m
+        self._state = None          # dense view stale until accessed
 
     # ------------------------------------------------------------------
     def _lower_bound_impl(self, s):
@@ -318,7 +337,7 @@ class GridPottsModel:
         and measured by bench.py on hardware."""
         mode = ReparametrizationMode.convert(mode)
         if kernel == "pallas":
-            self.state = self._run_fast_pallas(self.state, mode, n, interpret)
+            self._run_fast_pallas(mode, n, interpret)
             return self
         fuse = mode in (ReparametrizationMode.anisotropic,
                         ReparametrizationMode.anisotropic2)
