@@ -227,15 +227,41 @@ class GraphMatchingConstructor:
             m, cur = best_m, best
         return m
 
+    def _greedy_matching(self) -> np.ndarray:
+        """Quadratic-aware greedy construction on the ORIGINAL objective:
+        place left nodes one at a time on the candidate (or slack)
+        minimizing the marginal cost given earlier placements."""
+        A, allowed, ei1, ej1, ei2, ej2, ec = self._instance_arrays()
+        n0 = self.inp.n_left
+        m = np.full(n0, -1, dtype=np.int64)
+        used = set()
+        for i in range(n0):
+            best_j, best_v = -1, 0.0     # slack costs 0 marginally
+            for j in allowed[i] - used:
+                sel = (ei1 == i) & (ej1 == j) & (m[ei2] == ej2)
+                sel |= (ei2 == i) & (ej2 == j) & (m[ei1] == ej1)
+                v = A[i, j] + float(ec[sel].sum())
+                if v < best_v:
+                    best_j, best_v = j, v
+            m[i] = best_j
+            if best_j >= 0:
+                used.add(best_j)
+        return m
+
     def compute_primal(self, engine):
         """MCF rounding (FMC_MCF role): solve the assignment problem exactly
         on the current reparametrized unary costs, polish with the 2-opt
-        local search over the original objective, then fill a full primal
-        pytree (pairwise/right-side entries follow the matching)."""
+        local search over the original objective (a quadratic-aware greedy
+        construction seeds a second start — the MCF matching alone lands in
+        window-dependent local optima), then fill a full primal pytree
+        (pairwise/right-side entries follow the matching)."""
         import jax.numpy as jnp
         costs, slack = self._left_unary_costs(engine)
         match = solve_assignment(costs, slack)  # match[i] = right node or -1
-        match = self.improve_matching(match)
+        cands = [self.improve_matching(match)]
+        if self.inp.n_left <= 128:
+            cands.append(self.improve_matching(self._greedy_matching()))
+        match = min(cands, key=self._matching_cost)
 
         prim = engine.init_primal()
         ux = np.asarray(prim[UNARY_SIMPLEX.name]["x"]).copy()
