@@ -251,3 +251,224 @@ def absorbable(graph, engine, n0: int, m0: int) -> "list | None":
         out.append((fid, np.asarray(data, dtype=np.float64),
                     tuple(slots_of[fid][s] for s in range(3))))
     return out
+
+
+class AuxMulticutTripletPass:
+    """Multicut twin of AuxTripletPass: tightening triplet factors over an
+    engine's multicut EDGE block, absorbed without an engine rebuild when a
+    separation round adds only triplets on existing edges (on triangulated
+    graphs every round after the chords exist — each rebuild costs a full
+    re-jit of every pass, the dominant wall-time of the multicut e2e
+    solve).  Same bucket protocol and update semantics: receive the three
+    edge costs (split 1/k between triplets sharing an edge), send back 1/3
+    min-marginals from one snapshot."""
+
+    def __init__(self):
+        from .factors.multicut import MULTICUT_TRIPLET  # noqa: F401
+        self.cap = 0
+        self.n = 0
+        self.c = None               # [cap, 4] triplet duals
+        self.lidx = None            # [3, cap] edge rows (0 on inactive)
+        self.active = None          # [cap] float mask
+        self.w_recv = None
+        self.fids: list[int] = []
+        self._pending: list[tuple[int, int, int]] = []
+        self._update = jax.jit(self._update_impl)
+        self._lb = jax.jit(lambda c, m: jnp.sum(
+            jnp.minimum(jnp.min(c, axis=1), 0.0) * m))
+        self._eval = jax.jit(self._eval_impl)
+
+    def __bool__(self):
+        return self.n > 0
+
+    def add(self, engine, fid: int, edge_rows) -> None:
+        self._pending.append(tuple(int(r) for r in edge_rows))
+        self.fids.append(fid)
+        self.n += 1
+
+    def _sync(self) -> None:
+        if not self._pending:
+            return
+        if self.n > self.cap:
+            new_cap = max(_MIN_CAP, self.cap)
+            while new_cap < self.n:
+                new_cap *= 2
+            dt = real_dtype()
+            c = jnp.zeros((new_cap, 4), dtype=dt)
+            lidx = jnp.zeros((3, new_cap), dtype=jnp.int32)
+            active = jnp.zeros(new_cap, dtype=dt)
+            if self.cap:
+                c = c.at[:self.cap].set(self.c)
+                lidx = lidx.at[:, :self.cap].set(self.lidx)
+                active = active.at[:self.cap].set(self.active)
+            self.c, self.lidx, self.active, self.cap = c, lidx, active, new_cap
+        n0 = self.n - len(self._pending)
+        rows = np.stack(self._pending, axis=1)          # [3, P]
+        self.lidx = self.lidx.at[:, n0:self.n].set(
+            jnp.asarray(rows, dtype=jnp.int32))
+        self.active = self.active.at[n0:self.n].set(1.0)
+        self._pending = []
+        li = np.asarray(self.lidx)[:, :self.n].astype(np.int64)
+        cnt = np.bincount(li.reshape(-1),
+                          minlength=int(li.max(initial=0)) + 1)
+        w = np.zeros((3, self.cap), dtype=real_dtype())
+        w[:, :self.n] = 1.0 / cnt[li]
+        self.w_recv = jnp.asarray(w)
+
+    def _update_impl(self, edge_c, c, lidx, active, w_recv):
+        from .messages.multicut import (MULTICUT_EDGE_TRIPLET_0,
+                                        MULTICUT_EDGE_TRIPLET_1,
+                                        MULTICUT_EDGE_TRIPLET_2)
+        slots = (MULTICUT_EDGE_TRIPLET_0, MULTICUT_EDGE_TRIPLET_1,
+                 MULTICUT_EDGE_TRIPLET_2)
+        ridx = jnp.arange(c.shape[0])
+        deltas = []
+        for s, mt in enumerate(slots):
+            d = mt.marginal_left({"c": edge_c[lidx[s]]}, {})
+            deltas.append(d * w_recv[s][:, None])
+        for s, mt in enumerate(slots):
+            edge_c = mt.repam_left({"c": edge_c}, lidx[s], -deltas[s], {})["c"]
+            c = mt.repam_right({"c": c}, ridx, deltas[s], {})["c"]
+        snap = c
+        for s, mt in enumerate(slots):
+            d = mt.marginal_right({"c": snap}, {}) * (active / 3.0)[:, None]
+            c = mt.repam_right({"c": c}, ridx, -d, {})["c"]
+            edge_c = mt.repam_left({"c": edge_c}, lidx[s], d, {})["c"]
+        return edge_c, c
+
+    def run(self, engine) -> None:
+        if not self.n:
+            return
+        from .factors.multicut import MULTICUT_EDGE
+        self._sync()
+        blk = engine.state[MULTICUT_EDGE.name]
+        new_c, self.c = self._update(blk["c"], self.c, self.lidx,
+                                     self.active, self.w_recv)
+        engine.state[MULTICUT_EDGE.name] = {**blk, "c": new_c}
+
+    def lower_bound(self) -> float:
+        if not self.n:
+            return 0.0
+        self._sync()
+        return float(self._lb(self.c, self.active))
+
+    def _eval_impl(self, c, lidx, active, edge_x):
+        from .factors.multicut import MULTICUT_TRIPLET
+        from .messages.multicut import (MULTICUT_EDGE_TRIPLET_0,
+                                        MULTICUT_EDGE_TRIPLET_1,
+                                        MULTICUT_EDGE_TRIPLET_2)
+        slots = (MULTICUT_EDGE_TRIPLET_0, MULTICUT_EDGE_TRIPLET_1,
+                 MULTICUT_EDGE_TRIPLET_2)
+        tp = MULTICUT_TRIPLET.init_primal({"c": c})
+        ridx = jnp.arange(c.shape[0])
+        for s, mt in enumerate(slots):
+            tp = mt.propagate_primal_l2r({"x": edge_x}, tp, lidx[s], ridx, {})
+        act = active > 0
+        val = MULTICUT_TRIPLET.evaluate_primal({"c": c}, tp)
+        # propagated bits always match the edges, so consistency is by
+        # construction; masked inactive rows contribute zero
+        total = jnp.sum(jnp.where(act, val, 0.0))
+        return jnp.where(jnp.isfinite(total), total, jnp.inf)
+
+    def evaluate_primal(self, engine, prim) -> float:
+        if not self.n:
+            return 0.0
+        from .factors.multicut import MULTICUT_EDGE
+        self._sync()
+        return float(self._eval(self.c, self.lidx, self.active,
+                                prim[MULTICUT_EDGE.name]["x"]))
+
+    def fold_into(self, engine) -> None:
+        if not self.n:
+            return
+        from .factors.multicut import MULTICUT_TRIPLET
+        self._sync()
+        name = MULTICUT_TRIPLET.name
+        block = dict(engine.state[name])
+        rows = engine.f_local[np.asarray(self.fids)]
+        block["c"] = block["c"].at[rows].set(self.c[:self.n])
+        engine.state[name] = block
+        self.cap = self.n = 0
+        self.c = self.lidx = self.active = self.w_recv = None
+        self.fids = []
+        self._pending = []
+
+
+def absorbable_multicut(graph, engine, n0: int, m0: int) -> "list | None":
+    """If every factor/message added past (n0, m0) is a multicut triplet
+    coupled to EXISTING edge factors, return [(fid, (row0, row1, row2))];
+    else None (full rebuild).  Counterpart of ``absorbable`` for the
+    multicut FMC."""
+    from .factors.multicut import MULTICUT_EDGE, MULTICUT_TRIPLET
+    from .messages.multicut import (MULTICUT_EDGE_TRIPLET_0,
+                                    MULTICUT_EDGE_TRIPLET_1,
+                                    MULTICUT_EDGE_TRIPLET_2)
+    slot_id = {m.name: s for s, m in enumerate(
+        (MULTICUT_EDGE_TRIPLET_0, MULTICUT_EDGE_TRIPLET_1,
+         MULTICUT_EDGE_TRIPLET_2))}
+    new_f = list(range(n0, graph.n_factors))
+    if not new_f:
+        return None
+    for fid in new_f:
+        if graph.factors[fid][0] is not MULTICUT_TRIPLET:
+            return None
+    slots_of: dict[int, dict[int, int]] = {fid: {} for fid in new_f}
+    for mt, l, r, _ in graph.messages[m0:]:
+        if mt.name not in slot_id or r not in slots_of                 or l >= len(engine.f_local):
+            return None
+        if graph.factors[l][0] is not MULTICUT_EDGE:
+            return None
+        slots_of[r][slot_id[mt.name]] = int(engine.f_local[l])
+    out = []
+    for fid in new_f:
+        if sorted(slots_of[fid]) != [0, 1, 2]:
+            return None
+        out.append((fid, tuple(slots_of[fid][s] for s in range(3))))
+    return out
+
+
+class AuxPasses:
+    """Composite of the per-FMC absorb passes the Solver holds: routes a
+    tightening round's additions to whichever pass can absorb them (MRF
+    ternary triplets or multicut triplets), and fans the per-iteration
+    run/bound/primal hooks to every active pass."""
+
+    def __init__(self):
+        self.mrf = AuxTripletPass()
+        self.mc = AuxMulticutTripletPass()
+
+    def __bool__(self):
+        return bool(self.mrf) or bool(self.mc)
+
+    @property
+    def n(self) -> int:
+        """Total absorbed factors across passes."""
+        return self.mrf.n + self.mc.n
+
+    def absorb(self, graph, engine, n0: int, m0: int) -> bool:
+        items = absorbable(graph, engine, n0, m0)
+        if items is not None:
+            for fid, data, rows in items:
+                self.mrf.add(engine, fid, data, rows)
+            return True
+        mitems = absorbable_multicut(graph, engine, n0, m0)
+        if mitems is not None:
+            for fid, rows in mitems:
+                self.mc.add(engine, fid, rows)
+            return True
+        return False
+
+    def run(self, engine) -> None:
+        self.mrf.run(engine)
+        self.mc.run(engine)
+
+    def lower_bound(self) -> float:
+        return self.mrf.lower_bound() + self.mc.lower_bound()
+
+    def evaluate_primal(self, engine, prim) -> float:
+        return (self.mrf.evaluate_primal(engine, prim)
+                + self.mc.evaluate_primal(engine, prim))
+
+    def fold_into(self, engine) -> None:
+        self.mrf.fold_into(engine)
+        self.mc.fold_into(engine)

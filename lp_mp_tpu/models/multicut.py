@@ -589,7 +589,10 @@ class MulticutConstructor:
             T = prim[MULTICUT_TRIPLET.name]["e1"].shape[0]
             es = {1: np.zeros(T, np.int32), 2: np.zeros(T, np.int32),
                   3: np.zeros(T, np.int32)}
+            n_known = len(engine.f_local)
             for (i, j, k), ref in self.triplets.items():
+                if ref.fid >= n_known:
+                    continue    # absorbed by the aux pass, not engine rows
                 row = engine.f_local[ref.fid]
                 es[1][row] = cut[(i, j)]
                 es[2][row] = cut[(i, k)]

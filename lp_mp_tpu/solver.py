@@ -67,9 +67,10 @@ class Solver:
         self.best_primal_cost: float = float("inf")
         self.best_primal: Any = None
         # incremental tightening (aux_tighten): absorbable triplet additions
-        # go into a bucketed side pass instead of a full engine rebuild
-        from .aux_tighten import AuxTripletPass
-        self.aux = AuxTripletPass()
+        # (MRF ternary or multicut triplets) go into bucketed side passes
+        # instead of a full engine rebuild
+        from .aux_tighten import AuxPasses
+        self.aux = AuxPasses()
         self.n_engine_builds = 0
 
     def add_constructor(self, ctor_cls, **kwargs):
@@ -128,14 +129,8 @@ class Solver:
         for c in self.constructors:
             if hasattr(c, "tighten"):
                 added += c.tighten(self.engine, max_constraints - added)
-        if added:
-            from .aux_tighten import absorbable
-            items = absorbable(self.graph, self.engine, n0, m0)
-            if items is not None:
-                for fid, data, rows in items:
-                    self.aux.add(self.engine, fid, data, rows)
-            else:
-                self.build_engine()
+        if added and not self.aux.absorb(self.graph, self.engine, n0, m0):
+            self.build_engine()
         return added
 
     # ------------------------------------------------------------------

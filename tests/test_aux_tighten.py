@@ -57,7 +57,7 @@ def test_tighten_rounds_do_not_rebuild_engine():
         items = absorbable(s.graph, s.engine, n0, m0)
         assert items is not None
         for fid, data, rows in items:
-            s.aux.add(s.engine, fid, data, rows)
+            s.aux.mrf.add(s.engine, fid, data, rows)
         for _ in range(5):
             s.engine.compute_pass("anisotropic")
             s.aux.run(s.engine)
@@ -149,7 +149,7 @@ def test_aux_tighten_100x100_no_rebuilds():
         items = absorbable(s.graph, s.engine, n0, m0)
         assert items is not None
         for fid, data, rows in items:
-            s.aux.add(s.engine, fid, data, rows)
+            s.aux.mrf.add(s.engine, fid, data, rows)
         for _ in range(3):
             s.engine.compute_pass("anisotropic")
             s.aux.run(s.engine)
@@ -159,3 +159,90 @@ def test_aux_tighten_100x100_no_rebuilds():
     assert s.n_engine_builds <= 2
     assert s.aux.n == 200
     assert lb > lb0 + 100.0      # tightening closed real gap (10.4 -> ~200)
+
+
+def test_multicut_triplet_absorb_no_rebuild():
+    """Cycle-separation rounds that add only multicut triplets on existing
+    edges absorb into AuxMulticutTripletPass — no engine rebuild — with a
+    monotone bound; the full solve (whose wheel phase may legitimately
+    rebuild) still reaches the brute-force multicut optimum."""
+    import itertools
+    import numpy as np
+    from lp_mp_tpu import Solver
+    from lp_mp_tpu.models.multicut import MulticutConstructor
+    from lp_mp_tpu.visitors import StandardTighteningVisitor
+
+    rng = np.random.default_rng(21)
+    n = 5
+    pairs = np.asarray([(i, j) for i in range(n) for j in range(i + 1, n)])
+    costs = rng.normal(size=len(pairs))
+
+    def mc_cost(lab):
+        return sum(c for (i, j), c in zip(pairs, costs)
+                   if lab[i] != lab[j])
+    opt = min(mc_cost(lab) for lab in
+              itertools.product(range(n), repeat=n))
+
+    # absorb path: triplet-only cycle separation, zero rebuilds
+    s = Solver()
+    mc = s.add_constructor(MulticutConstructor)
+    mc.add_edges(pairs, costs)          # complete graph: no chords needed
+    s.build_engine()
+    for _ in range(5):
+        s.engine.compute_pass("anisotropic")
+    lb = s.engine.lower_bound()
+    for _ in range(4):
+        n0, m0 = s.graph.n_factors, len(s.graph.messages)
+        added = mc.tighten_cycles(s.engine, max_constraints=10)
+        if not added:
+            break
+        assert s.aux.absorb(s.graph, s.engine, n0, m0)
+        for _ in range(5):
+            s.engine.compute_pass("anisotropic")
+            s.aux.run(s.engine)
+        lb2 = s.engine.lower_bound() + s.aux.lower_bound()
+        assert lb2 >= lb - 1e-6
+        lb = lb2
+    assert s.n_engine_builds == 1
+    assert s.aux.mc.n > 0
+
+    # full solver reaches the optimum (wheel rounds may rebuild)
+    s2 = Solver(visitor=StandardTighteningVisitor(
+        max_iter=80, tighten=True, tighten_iteration=5, tighten_interval=10,
+        tighten_constraints_max=40))
+    mc2 = s2.add_constructor(MulticutConstructor)
+    mc2.add_edges(pairs, costs)
+    lb = s2.solve()
+    assert lb <= opt + 1e-6
+    ub = s2.primal_cost()
+    assert np.isfinite(ub) and ub >= opt - 1e-9
+    assert abs(lb - opt) < 1e-4 and abs(ub - opt) < 1e-4
+
+
+def test_multicut_absorb_fold_into_rebuild():
+    """A later non-absorbable change folds the absorbed multicut triplet
+    duals back into a rebuilt engine with the bound preserved."""
+    import numpy as np
+    from lp_mp_tpu import Solver
+    from lp_mp_tpu.models.multicut import MulticutConstructor
+    from lp_mp_tpu.engine import Engine
+
+    rng = np.random.default_rng(22)
+    n = 6
+    pairs = np.asarray([(i, j) for i in range(n) for j in range(i + 1, n)])
+    s = Solver()
+    mc = s.add_constructor(MulticutConstructor)
+    mc.add_edges(pairs, rng.normal(size=len(pairs)))
+    s.build_engine()
+    n0, m0 = s.graph.n_factors, len(s.graph.messages)
+    mc.add_triplet(0, 1, 2)
+    mc.add_triplet(2, 3, 4)
+    assert s.aux.absorb(s.graph, s.engine, n0, m0)
+    for _ in range(5):
+        s.engine.compute_pass("anisotropic")
+        s.aux.run(s.engine)
+    lb_before = s.engine.lower_bound() + s.aux.lower_bound()
+    s.build_engine()                    # folds absorbed duals back
+    assert not bool(s.aux)
+    lb_after = s.engine.lower_bound()
+    assert abs(lb_after - lb_before) < 1e-5

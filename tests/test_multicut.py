@@ -79,7 +79,7 @@ def test_frustrated_four_cycle():
     assert abs(lb - 0.0) < 1e-6, lb
     prim = mc.compute_primal(s.engine)
     ub = s.engine.evaluate_primal(prim)
-    assert abs(ub - 0.0) < 1e-9
+    assert abs(ub - 0.0) < 1e-6
 
 
 def test_gaec_merges_attractive():
